@@ -1,0 +1,71 @@
+"""Simulation configuration.
+
+The reference tunes everything through compile-time consts
+(reference src/main.rs:31-35, src/bvh_tree.rs:37); this dataclass exposes the
+same knobs at runtime with the reference values as defaults:
+
+- ``world_size``    = HEIGHT = 100_000            (src/main.rs:31)
+- ``render_size``   = RENDER_HEIGHT = 1250        (src/main.rs:32)
+- ``dt``            = STEP_SIZE = 0.1             (src/main.rs:34)
+- ``theta``         = THETA = 50.0                (src/main.rs:35) — the
+  reference's *inverted* convention: a node's COM is accepted whenever
+  max(w,h)^2 < d^2·θ^2, so larger θ = MORE approximation
+- ``leaf_size``     = TARGET_POINTS = 64          (src/bvh_tree.rs:37)
+- ``softening2``    = 1e-3 squared-distance clamp (src/main.rs:247-249)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+ForcePath = Literal["direct", "pallas", "bh", "ring"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    # World / render geometry (src/main.rs:31-32).
+    world_size: float = 100_000.0
+    render_size: int = 1250
+
+    # Integration (src/main.rs:34).
+    dt: float = 0.1
+
+    # Barnes-Hut quality knob (src/main.rs:35). Acceptance test is
+    # max(w,h)^2 < d2 * theta^2 — reference convention (s/d < θ accepts).
+    theta: float = 50.0
+
+    # BVH leaf size (src/bvh_tree.rs:37).
+    leaf_size: int = 64
+
+    # Squared-distance softening clamp (src/main.rs:247-249).
+    softening2: float = 1e-3
+
+    # Which force path World.step uses.
+    force_path: ForcePath = "pallas"
+
+    # Reference quirk (src/bvh_tree.rs:98-116): a leaf's center of gravity is
+    # the UNWEIGHTED mean of its particle positions, while internal-node COMs
+    # are mass-weighted. True reproduces the reference; False uses the
+    # physically-correct mass-weighted COM everywhere.
+    unweighted_leaf_com: bool = True
+
+    # Pallas all-pairs tile sizes (i = sublane/rows, j = lane/cols).
+    tile_i: int = 256
+    tile_j: int = 1024
+
+    # Heavy-particle render threshold: weight > 10 draws solid green
+    # (src/main.rs:55-59).
+    heavy_weight: float = 10.0
+
+    @property
+    def pixels_per_world(self) -> int:
+        """Integer world-units-per-pixel scale (src/main.rs:51-52 uses
+        integer division HEIGHT / RENDER_HEIGHT = 80)."""
+        return int(self.world_size) // self.render_size
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SimConfig()

@@ -1,0 +1,78 @@
+"""The reference force law as a vectorized JAX primitive.
+
+The reference's single pairwise interaction (reference src/main.rs:234-253):
+
+    diff = p2 - p1
+    sum  = |diff.x| + |diff.y|                  # L1 norm
+    if !sum.is_normal(): return                 # skips self/NaN/inf/subnormal
+    dist = max(diff.square_length(), 1e-3)      # squared-L2, clamped
+    accel += (diff * m2) / (sum * dist)         # note numerator FIRST
+
+Two deliberate quirks preserved exactly:
+
+1. the denominator is the **product of the L1 norm and the clamped squared
+   L2 norm** ("According to wolfram alpha", src/main.rs:251) — not the
+   classical d^3;
+2. ``f32::is_normal`` on the L1 norm silently masks self-pairs (sum == 0),
+   subnormals, infs and NaNs (src/main.rs:240-243) — expressed here as a
+   finite-and-(>= FLT_MIN_NORMAL) mask.
+
+Operation ORDER matters for bitwise fp32 parity: the numerator ``diff * m``
+is formed before the division, and the clamp applies to the squared distance
+before multiplying by the L1 norm. These functions mirror that order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Smallest positive normal f32 — the threshold of Rust's f32::is_normal.
+FLT_MIN_NORMAL = 1.17549435e-38
+
+
+def pair_accel(dx: jax.Array, dy: jax.Array, mass_j: jax.Array,
+               softening2: float = 1e-3) -> tuple[jax.Array, jax.Array]:
+    """Acceleration contribution of source(s) j on target(s) i.
+
+    ``dx, dy`` are components of ``p_j - p_i`` (broadcastable), ``mass_j`` is
+    the source mass. Returns ``(ax, ay)`` with masked pairs contributing 0.
+    """
+    s = jnp.abs(dx) + jnp.abs(dy)
+    normal = jnp.isfinite(s) & (s >= FLT_MIN_NORMAL)
+    d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
+    den = s * d2
+    # Dead lanes get a denominator of 1 so no NaN/inf leaks through the where.
+    den = jnp.where(normal, den, jnp.float32(1.0))
+    ax = jnp.where(normal, (dx * mass_j) / den, jnp.float32(0.0))
+    ay = jnp.where(normal, (dy * mass_j) / den, jnp.float32(0.0))
+    return ax, ay
+
+
+@partial(jax.jit, static_argnames=("softening2", "row_chunk"))
+def direct_accel(pos: jax.Array, mass: jax.Array,
+                 softening2: float = 1e-3, row_chunk: int = 1024) -> jax.Array:
+    """Direct O(N²) acceleration — the exact-summation reference path.
+
+    Equivalent to running the reference's leaf loop (src/main.rs:355-362)
+    over every pair. Self-pairs are masked by the is_normal guard. Memory is
+    bounded by evaluating ``row_chunk`` targets at a time with ``lax.map``.
+    """
+    n = pos.shape[0]
+    assert n % row_chunk == 0 or n < row_chunk, (n, row_chunk)
+    chunk = min(row_chunk, n)
+    x, y = pos[:, 0], pos[:, 1]
+
+    def one_chunk(start):
+        xi = jax.lax.dynamic_slice(x, (start,), (chunk,))
+        yi = jax.lax.dynamic_slice(y, (start,), (chunk,))
+        dx = x[None, :] - xi[:, None]
+        dy = y[None, :] - yi[:, None]
+        ax, ay = pair_accel(dx, dy, mass[None, :], softening2)
+        return jnp.stack([ax.sum(axis=1), ay.sum(axis=1)], axis=-1)
+
+    starts = jnp.arange(0, n, chunk)
+    out = jax.lax.map(one_chunk, starts)  # (n/chunk, chunk, 2)
+    return out.reshape(n, 2)
