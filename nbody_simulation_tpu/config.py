@@ -50,9 +50,12 @@ class SimConfig:
     # physically-correct mass-weighted COM everywhere.
     unweighted_leaf_com: bool = True
 
-    # Pallas all-pairs tile sizes (i = sublane/rows, j = lane/cols).
-    tile_i: int = 256
-    tile_j: int = 1024
+    # Pallas all-pairs tile sizes (i = sublane/rows, j = lane/cols) and
+    # reciprocal mode ("exact" | "newton" | "approx"); (512, 2048, newton)
+    # measured fastest-accurate on v5e.
+    tile_i: int = 512
+    tile_j: int = 2048
+    rcp: str = "newton"
 
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).

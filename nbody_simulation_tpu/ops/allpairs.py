@@ -1,0 +1,134 @@
+"""Blocked all-pairs force summation as a Pallas TPU kernel.
+
+This is the TPU-native replacement for the economics of the reference's
+"exact loop over a leaf's particles" (reference src/main.rs:355-362) scaled to
+the whole system: a dense O(N²) interaction sweep tiled through VMEM.
+
+Design (flash-attention-style tiling):
+
+- grid = (N/TILE_I, N/TILE_J); the i axis is parallel, the j axis is an
+  accumulation ("arbitrary") axis revisiting the same output block, so Pallas
+  double-buffers the j-tile DMAs behind the VPU work.
+- targets i live on sublanes as (TILE_I, 1) columns; sources j live on lanes
+  as (1, TILE_J) rows; the (TILE_I, TILE_J) interaction tile is pure VPU
+  elementwise work using the exact reference force law (ops/force.pair_accel),
+  reduced over lanes into an f32 accumulator.
+- zero-mass padding particles contribute exactly 0 (force numerator is
+  diff*mass, src/main.rs:252), and self-pairs are masked by the is_normal
+  guard — so no special-casing of the diagonal tiles is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_simulation_tpu.ops.force import pair_accel
+
+# Rough VPU op count per pairwise interaction (incl. the fp32 divide).
+FLOPS_PER_PAIR = 22
+
+
+def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
+                     ax_ref, ay_ref, softening2: float, rcp: str):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        ax_ref[:] = jnp.zeros_like(ax_ref)
+        ay_ref[:] = jnp.zeros_like(ay_ref)
+
+    dx = xj_ref[:] - xi_ref[:]          # (1,TJ) - (TI,1) -> (TI,TJ)
+    dy = yj_ref[:] - yi_ref[:]
+    if rcp == "exact":
+        cx, cy = pair_accel(dx, dy, mj_ref[:], softening2)
+    else:
+        # Same law, but the division is an approximate VPU reciprocal,
+        # optionally sharpened by one Newton step r*(2 - den*r) (~1 ulp).
+        from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL
+        s = jnp.abs(dx) + jnp.abs(dy)
+        normal = jnp.isfinite(s) & (s >= FLT_MIN_NORMAL)
+        d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
+        den = jnp.where(normal, s * d2, jnp.float32(1.0))
+        r = pl.reciprocal(den, approx=True)
+        if rcp == "newton":
+            r = r * (jnp.float32(2.0) - den * r)
+        r = jnp.where(normal, r, jnp.float32(0.0))
+        w = mj_ref[:] * r
+        cx = dx * w
+        cy = dy * w
+    ax_ref[:] += jnp.sum(cx, axis=1, keepdims=True)
+    ay_ref[:] += jnp.sum(cy, axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening2", "tile_i", "tile_j", "interpret", "rcp"),
+)
+def allpairs_accel(pos: jax.Array, mass: jax.Array,
+                   softening2: float = 1e-3,
+                   tile_i: int = 512, tile_j: int = 2048,
+                   interpret: bool = False, rcp: str = "newton") -> jax.Array:
+    """Direct all-pairs acceleration via the blocked Pallas kernel.
+
+    ``pos`` f32[N,2], ``mass`` f32[N]; N must be a multiple of both tile
+    sizes (use ``ParticleState.pad_to``). Returns f32[N,2].
+
+    ``rcp`` selects how 1/(s*d2) is computed:
+      - "exact": IEEE fp32 division (bitwise-matches the oracle on CPU)
+      - "newton" (default): VPU approximate reciprocal + one Newton step —
+        measured ≤6e-6 relative deviation from exact, ~1.5x faster
+        (v5e: 1.99e11 pairs/s at N=262144 vs 1.33e11 exact)
+      - "approx": raw approximate reciprocal (≤6e-4 deviation, fastest)
+    """
+    n = pos.shape[0]
+    tile_i = min(tile_i, n)
+    tile_j = min(tile_j, n)
+    if n % tile_i or n % tile_j:
+        raise ValueError(f"N={n} not divisible by tiles ({tile_i},{tile_j})")
+
+    x_col = pos[:, 0:1]                     # (N, 1) — i layout
+    y_col = pos[:, 1:2]
+    x_row = pos[:, 0].reshape(1, n)         # (1, N) — j layout
+    y_row = pos[:, 1].reshape(1, n)
+    m_row = mass.reshape(1, n)
+
+    if rcp not in ("exact", "newton", "approx"):
+        raise ValueError(f"rcp must be exact|newton|approx, got {rcp!r}")
+    if interpret and rcp != "exact":
+        rcp = "exact"  # pl.reciprocal(approx) has no interpreter lowering
+    grid = (n // tile_i, n // tile_j)
+    kernel = functools.partial(_allpairs_kernel, softening2=softening2, rcp=rcp)
+
+    ax, ay = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=FLOPS_PER_PAIR * n * n,
+            bytes_accessed=5 * n * 4 * (n // tile_i) + 2 * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_col, y_col, x_row, y_row, m_row)
+
+    return jnp.concatenate([ax, ay], axis=1)
