@@ -1,0 +1,97 @@
+"""The step loop: World = state + config + a compiled step.
+
+Mirrors the reference's ``World::update`` (reference src/main.rs:388-425):
+force summation followed by semi-implicit Euler, with per-phase telemetry.
+Differences by design (TPU-first):
+
+- the whole step is one jitted, donated device computation (``step``/``run``)
+  instead of clone → rebuild → par_iter → sequential loop;
+- accelerations are applied to the same particle ordering they were computed
+  for — the reference's clone/permute index-mismatch bug (SURVEY.md §3.2) is
+  not reproduced;
+- ``step_timed`` runs the phases as separate dispatches with host syncs to
+  populate ``Counting`` like the reference's per-phase Instant timers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nbody_simulation_tpu.config import DEFAULT_CONFIG, SimConfig
+from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+from nbody_simulation_tpu.ops.force import direct_accel
+from nbody_simulation_tpu.ops.integrate import euler_step
+from nbody_simulation_tpu.state import ParticleState
+
+
+def make_accel_fn(config: SimConfig):
+    """Resolve config.force_path to a ``(pos, mass) -> accel`` function."""
+    if config.force_path == "direct":
+        return functools.partial(direct_accel, softening2=config.softening2)
+    if config.force_path == "pallas":
+        return functools.partial(
+            allpairs_accel, softening2=config.softening2,
+            tile_i=config.tile_i, tile_j=config.tile_j, rcp=config.rcp)
+    if config.force_path == "bh":
+        from nbody_simulation_tpu.ops.traversal import bh_accel_fn
+        return bh_accel_fn(config)
+    raise ValueError(f"unknown force_path {config.force_path!r} "
+                     "(ring runs via parallel.sharded_step)")
+
+
+class World:
+    """Host-side handle around a device-resident simulation."""
+
+    def __init__(self, state: ParticleState, config: SimConfig = DEFAULT_CONFIG):
+        self.config = config
+        pad = max(config.tile_i, config.tile_j) if config.force_path == "pallas" else 256
+        self.state = state.pad_to(pad)
+        self.updates = 0
+        accel = make_accel_fn(config)
+        dt = config.dt
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _step(st: ParticleState) -> ParticleState:
+            return euler_step(st, accel(st.pos, st.mass), dt)
+
+        self._step = _step
+        self._accel = jax.jit(accel)
+
+    # -- fused fast path ------------------------------------------------------
+    def step(self) -> None:
+        self.state = self._step(self.state)
+        self.updates += 1
+
+    def run(self, n_steps: int) -> None:
+        """n donated jitted steps, async-dispatched back-to-back.
+
+        Measured: a host loop of donated dispatches sustains ~4x the step
+        rate of an on-device lax.fori_loop wrapping the same body (the loop
+        serializes the Pallas grid pipeline), so the host loop is the fast
+        path. Dispatch is async — nothing syncs until the state is read.
+        """
+        for _ in range(n_steps):
+            self.state = self._step(self.state)
+        self.updates += n_steps
+
+    # -- profile path ---------------------------------------------------------
+    def step_timed(self, counting) -> None:
+        """One step as separate synced dispatches, accumulating Counting.
+
+        Phase attribution matches the reference (src/main.rs:402,417,424):
+        build_bvh = tree build (0 for direct paths), sum_gravity = force
+        summation, post_calculations = integration.
+        """
+        from nbody_simulation_tpu.utils.telemetry import PhaseTimer
+
+        with PhaseTimer(counting, "sum_gravity"):
+            accel = self._accel(self.state.pos, self.state.mass)
+            jax.block_until_ready(accel)
+            _ = float(accel[0, 0])  # host sync (axon: block_until_ready is lazy)
+        with PhaseTimer(counting, "post_calculations"):
+            self.state = euler_step(self.state, accel, self.config.dt)
+            _ = float(self.state.pos[0, 0])
+        self.updates += 1

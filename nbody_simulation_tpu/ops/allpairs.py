@@ -97,6 +97,9 @@ def allpairs_accel(pos: jax.Array, mass: jax.Array,
 
     if rcp not in ("exact", "newton", "approx"):
         raise ValueError(f"rcp must be exact|newton|approx, got {rcp!r}")
+    if jax.default_backend() == "cpu":
+        interpret = True  # Mosaic only targets TPU; CPU runs interpreted
+
     if interpret and rcp != "exact":
         rcp = "exact"  # pl.reciprocal(approx) has no interpreter lowering
     grid = (n // tile_i, n // tile_j)

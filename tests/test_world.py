@@ -1,0 +1,70 @@
+"""World step loop: fused vs per-phase vs oracle (reference src/main.rs:388-425)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nbody_simulation_tpu.config import SimConfig
+from nbody_simulation_tpu.models.world import World
+from nbody_simulation_tpu.models.scenarios import uniform_disc
+from nbody_simulation_tpu.oracle import direct_accel_oracle, euler_oracle
+from nbody_simulation_tpu.state import ParticleState
+from nbody_simulation_tpu.utils.telemetry import Counting
+
+
+def small_world(force_path, n=192):
+    cfg = SimConfig(force_path=force_path, tile_i=64, tile_j=64)
+    st = uniform_disc(n, seed=2)
+    return World(st, cfg)
+
+
+def test_direct_step_matches_oracle():
+    w = small_world("direct")
+    n = w.state.n_real
+    pos = np.asarray(w.state.pos)
+    vel = np.asarray(w.state.vel)
+    mass = np.asarray(w.state.mass)
+    for _ in range(5):
+        acc = direct_accel_oracle(pos, mass).astype(np.float32)
+        pos, vel = euler_oracle(pos, vel, acc, 0.1)
+        w.step()
+    got_pos = np.asarray(w.state.pos)
+    rel = np.abs(got_pos[:n] - pos[:n]) / np.maximum(np.abs(pos[:n]), 1e-6)
+    assert rel.max() < 1e-5, rel.max()
+    assert w.updates == 5
+
+
+def test_run_equals_repeated_step():
+    w1 = small_world("direct")
+    w2 = small_world("direct")
+    for _ in range(4):
+        w1.step()
+    w2.run(4)
+    np.testing.assert_allclose(np.asarray(w1.state.pos),
+                               np.asarray(w2.state.pos), rtol=1e-6)
+
+
+def test_pallas_world_runs():
+    w = small_world("pallas", n=128)
+    w.run(3)
+    assert np.isfinite(np.asarray(w.state.pos)).all()
+
+
+def test_step_timed_populates_counting():
+    w = small_world("direct")
+    c = Counting()
+    w.step_timed(c)
+    assert c.sum_gravity > 0.0
+    assert c.post_calculations > 0.0
+    assert w.updates == 1
+
+
+def test_padding_preserved():
+    cfg = SimConfig(force_path="direct")
+    st = uniform_disc(200, seed=0)
+    w = World(st, cfg)
+    assert w.state.n % 256 == 0
+    assert w.state.n_real == 200
+    w.step()
+    # Padding stays inert: zero mass, out-of-world position.
+    mass = np.asarray(w.state.mass)
+    assert (mass[200:] == 0.0).all()
