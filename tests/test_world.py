@@ -49,6 +49,13 @@ def test_pallas_world_runs():
     assert np.isfinite(np.asarray(w.state.pos)).all()
 
 
+def test_bh_world_runs():
+    w = small_world("bh", n=256)
+    w.run(3)
+    assert np.isfinite(np.asarray(w.state.pos)).all()
+    assert w.updates == 3
+
+
 def test_step_timed_populates_counting():
     w = small_world("direct")
     c = Counting()
