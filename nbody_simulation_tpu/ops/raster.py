@@ -1,0 +1,75 @@
+"""On-device framebuffer raster — the reference splat loop, made commutative.
+
+The reference draws sequentially (reference src/main.rs:41-72): clear; for
+each in-bounds particle at pixel (x/80, y/80) — integer scale, src/main.rs:51
+— heavy particles (weight > 10) paint solid green with α=0xff; light
+particles, when the pixel isn't green-locked (α != 0xff), paint
+R=0xff, G=B=0xff−(0x10+min(0xef, sat_u8((|vx|+|vy|)·10))) and bump α by 10
+while α ≤ 240.
+
+That loop is order-dependent, but its FINAL framebuffer is not, because only
+heavy particles set α=0xff and they always overwrite:
+
+- a pixel hit by ≥1 heavy particle ends (0, 255, 0, 255) regardless of order;
+- otherwise, with k light hits, every hit executes, so α = min(10k, 250) and
+  the color comes from the LAST light particle in array order.
+
+So the commutative scatter formulation below — heavy-any (scatter-max),
+light-count (scatter-add), last-light-index (scatter-max) + one gather —
+reproduces the sequential result EXACTLY, pixel for pixel (verified against
+the oracle loop in tests/test_raster.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("world_size", "render_size",
+                                             "heavy_weight"))
+def render_frame(pos: jax.Array, vel: jax.Array, mass: jax.Array,
+                 world_size: float = 100_000.0, render_size: int = 1250,
+                 heavy_weight: float = 10.0) -> jax.Array:
+    """RGBA u8 framebuffer of shape (render_size, render_size, 4)."""
+    n = pos.shape[0]
+    npix = render_size * render_size
+    scale = int(world_size) // render_size  # integer scale (src/main.rs:51)
+
+    x, y = pos[:, 0], pos[:, 1]
+    # within_bounds (src/main.rs:223-226): NaN fails all comparisons → out.
+    in_b = (y < world_size) & (x < world_size) & (y >= 0.0) & (x >= 0.0)
+    cx = (x.astype(jnp.uint32) // scale).astype(jnp.int32)
+    cy = (y.astype(jnp.uint32) // scale).astype(jnp.int32)
+    pix = jnp.where(in_b, cy * render_size + cx, npix)  # npix = drop sentinel
+
+    heavy = mass > jnp.float32(heavy_weight)
+    light = ~heavy
+
+    green = (jnp.zeros(npix, jnp.int32)
+             .at[pix].max(heavy.astype(jnp.int32), mode="drop")) > 0
+    count = (jnp.zeros(npix, jnp.int32)
+             .at[pix].add(light.astype(jnp.int32), mode="drop"))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    last = (jnp.full(npix, -1, jnp.int32)
+            .at[pix].max(jnp.where(light, idx, -1), mode="drop"))
+
+    # Per-particle velocity tint term: 0x10 + min(0xef, sat_u8(speed*10))
+    # (src/main.rs:61-63; Rust f32→u8 casts saturate, NaN → 0).
+    speed = (jnp.abs(vel[:, 0]) + jnp.abs(vel[:, 1])) * jnp.float32(10.0)
+    speed = jnp.where(jnp.isnan(speed), 0.0, speed)
+    v8 = jnp.clip(speed, 0.0, 255.0).astype(jnp.int32)
+    vterm = jnp.int32(0x10) + jnp.minimum(v8, jnp.int32(0xEF))
+
+    vlast = jnp.where(last >= 0, vterm[jnp.maximum(last, 0)], 0)
+    lit = count > 0
+
+    r = jnp.where(green, 0, jnp.where(lit, 0xFF, 0))
+    g = jnp.where(green, 0xFF, jnp.where(lit, 0xFF - vlast, 0))
+    b = jnp.where(green, 0, jnp.where(lit, 0xFF - vlast, 0))
+    a = jnp.where(green, 0xFF,
+                  jnp.where(lit, jnp.minimum(10 * count, 250), 0))
+    frame = jnp.stack([r, g, b, a], axis=-1).astype(jnp.uint8)
+    return frame.reshape(render_size, render_size, 4)

@@ -1,0 +1,119 @@
+"""The two-stage sim→render pipeline, TPU-style.
+
+The reference spawns a physics thread running an unbounded step loop and
+ships full particle-vector snapshots through a depth-2 lossy channel to the
+winit render thread (reference src/main.rs:101-184). Here the simulation AND
+the rasterization run on the TPU; only the finished RGBA framebuffer crosses
+to the host, where the physics thread pushes it into the native lossy
+SnapshotQueue and any consumer (PNG dumper, viewer, test) pops at its own
+pace. A full queue skips the render+readback entirely — the same
+backpressure the reference gets from `!tx.is_full()` (src/main.rs:136-139),
+but saving the render work as well.
+
+Snapshot wire format (little-endian):
+  u64 step | f64 build_bvh | f64 sum_gravity | f64 post_calculations |
+  u32 height | u32 width | RGBA8 frame bytes
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from nbody_simulation_tpu.config import SimConfig
+from nbody_simulation_tpu.models.world import World
+from nbody_simulation_tpu.ops.raster import render_frame
+from nbody_simulation_tpu.runtime.queue import SnapshotQueue
+from nbody_simulation_tpu.utils.telemetry import Counting
+
+_HDR = struct.Struct("<Qdddii")
+
+
+@dataclass
+class Snapshot:
+    step: int
+    counting: Counting
+    frame: np.ndarray  # (H, W, 4) uint8
+
+    def pack(self) -> bytes:
+        h, w = self.frame.shape[:2]
+        return _HDR.pack(self.step, self.counting.build_bvh,
+                         self.counting.sum_gravity,
+                         self.counting.post_calculations, h, w) + \
+            self.frame.tobytes()
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "Snapshot":
+        step, b, s, p, h, w = _HDR.unpack_from(data)
+        frame = np.frombuffer(data, np.uint8, h * w * 4,
+                              offset=_HDR.size).reshape(h, w, 4)
+        return cls(step, Counting(b, s, p), frame)
+
+
+class Engine:
+    """Physics thread + lossy snapshot queue around a World."""
+
+    def __init__(self, world: World, queue_depth: int = 2,
+                 steps_per_snapshot: int = 1):
+        self.world = world
+        cfg: SimConfig = world.config
+        slot = _HDR.size + cfg.render_size * cfg.render_size * 4
+        self.queue = SnapshotQueue(capacity=queue_depth, slot_bytes=slot)
+        self.steps_per_snapshot = steps_per_snapshot
+        self.counting = Counting()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    # -- producer -------------------------------------------------------------
+    def _physics_loop(self, max_steps: int | None) -> None:
+        cfg = self.world.config
+        try:
+            while not self._stop.is_set():
+                if max_steps is not None and self.world.updates >= max_steps:
+                    break
+                self.world.run(self.steps_per_snapshot)
+                if not self.queue.is_full():
+                    st = self.world.state
+                    frame = render_frame(st.pos, st.vel, st.mass,
+                                         world_size=cfg.world_size,
+                                         render_size=cfg.render_size,
+                                         heavy_weight=cfg.heavy_weight)
+                    snap = Snapshot(self.world.updates, self.counting.copy(),
+                                    np.asarray(frame))
+                    self.queue.try_push(snap.pack())
+        except BaseException as e:  # surfaced via .error / stop()
+            self._error = e
+        finally:
+            self.queue.close()
+
+    def start(self, max_steps: int | None = None) -> None:
+        assert self._thread is None, "engine already started"
+        self._thread = threading.Thread(
+            target=self._physics_loop, args=(max_steps,),
+            name="physics", daemon=True)
+        self._thread.start()
+
+    # -- consumer -------------------------------------------------------------
+    def next_snapshot(self, timeout: float | None = None) -> Snapshot | None:
+        data = self.queue.pop(timeout)
+        return None if data is None else Snapshot.unpack(data)
+
+    def join(self, timeout: float | None = None) -> None:
+        """Wait for the physics loop to finish (only with max_steps set)."""
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+        if self._error is not None:
+            raise self._error
+
+    @property
+    def dropped(self) -> int:
+        return self.queue.dropped

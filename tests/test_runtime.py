@@ -1,0 +1,113 @@
+"""Native snapshot queue + engine pipeline (reference src/main.rs:101-184)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from nbody_simulation_tpu.config import SimConfig
+from nbody_simulation_tpu.models.scenarios import uniform_disc
+from nbody_simulation_tpu.models.world import World
+from nbody_simulation_tpu.runtime.engine import Engine, Snapshot
+from nbody_simulation_tpu.runtime.queue import SnapshotQueue
+from nbody_simulation_tpu.utils.telemetry import Counting
+
+
+@pytest.fixture(params=["native", "python"])
+def queue_impl(request):
+    return request.param == "python"
+
+
+def test_queue_native_lib_builds():
+    q = SnapshotQueue(2, 1024)
+    assert q.native, "g++ toolchain should be available in this image"
+
+
+def test_lossy_push_semantics(queue_impl):
+    q = SnapshotQueue(2, 64, force_python=queue_impl)
+    assert q.try_push(b"a")
+    assert q.try_push(b"b")
+    assert not q.try_push(b"c")  # full → dropped, like flume try_send
+    assert q.dropped == 1
+    assert q.pop(0.1) == b"a"    # FIFO
+    assert q.try_push(b"d")
+    assert q.pop(0.1) == b"b"
+    assert q.pop(0.1) == b"d"
+    assert q.pop(0.05) is None   # timeout
+
+
+def test_oversized_payload_dropped(queue_impl):
+    q = SnapshotQueue(2, 8, force_python=queue_impl)
+    assert not q.try_push(b"x" * 9)
+
+
+def test_blocking_pop_wakes_on_push(queue_impl):
+    q = SnapshotQueue(2, 64, force_python=queue_impl)
+    got = []
+
+    def consumer():
+        got.append(q.pop(5.0))
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    time.sleep(0.05)
+    q.try_push(b"hello")
+    t.join(timeout=5)
+    assert got == [b"hello"]
+
+
+def test_close_unblocks_consumer(queue_impl):
+    q = SnapshotQueue(2, 64, force_python=queue_impl)
+    t = threading.Thread(target=lambda: q.pop(None))
+    t.start()
+    time.sleep(0.05)
+    q.close()
+    t.join(timeout=5)
+    assert not t.is_alive()
+
+
+def test_snapshot_roundtrip():
+    frame = np.arange(5 * 4 * 4, dtype=np.uint8).reshape(5, 4, 4)
+    s = Snapshot(42, Counting(1.5, 2.5, 3.5), frame)
+    r = Snapshot.unpack(s.pack())
+    assert r.step == 42
+    assert r.counting.sum_gravity == 2.5
+    np.testing.assert_array_equal(r.frame, frame)
+
+
+def test_engine_end_to_end():
+    cfg = SimConfig(force_path="direct", render_size=100)
+    world = World(uniform_disc(256, seed=1), cfg)
+    eng = Engine(world)
+    eng.start(max_steps=50)
+    snaps = []
+    while True:
+        s = eng.next_snapshot(timeout=30.0)
+        if s is None:
+            break
+        snaps.append(s)
+    eng.stop()
+    assert world.updates == 50
+    assert len(snaps) >= 1
+    steps = [s.step for s in snaps]
+    assert steps == sorted(steps)
+    assert snaps[-1].frame.shape == (100, 100, 4)
+    assert snaps[-1].frame[..., 3].max() > 0  # something was drawn
+
+
+def test_engine_drops_when_consumer_slow():
+    cfg = SimConfig(force_path="direct", render_size=50)
+    world = World(uniform_disc(256, seed=1), cfg)
+    eng = Engine(world)
+    eng.start(max_steps=200)
+    eng.join(timeout=60)  # no consumer at all while the producer runs
+    # 200 steps but queue depth 2 and no consumer → only 2 snapshots kept,
+    # the rest were skipped without blocking physics (flume semantics).
+    assert world.updates == 200
+    assert eng.queue.pushed == 2
+    drained = 0
+    while eng.next_snapshot(timeout=1.0) is not None:
+        drained += 1
+    eng.stop()
+    assert drained == 2
