@@ -1,0 +1,50 @@
+"""Headline benchmark: pairwise interactions/sec/chip, blocked Pallas kernel.
+
+BASELINE.json config 4: N=1,048,576 all-pairs on a single chip. North-star
+target ≥1e11 pairs/s (BASELINE.md) — vs_baseline is measured/1e11.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 1_048_576 if on_tpu else 4_096
+    reps = 3 if on_tpu else 1
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, 1e5, (n, 2)).astype(np.float32))
+    mass = jnp.asarray(rng.integers(1, 100, n).astype(np.float32))
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        # float(...) forces a host readback — block_until_ready does not
+        # synchronize under the axon tunnel.
+        _ = float(allpairs_accel(pos, mass).sum())
+        return time.perf_counter() - t0
+
+    run()  # compile + warm
+    dt = min(run() for _ in range(reps))
+    pairs_per_sec = n * n / dt
+
+    print(json.dumps({
+        "metric": "pairwise interactions/sec/chip (all-pairs Pallas, N=%d)" % n,
+        "value": pairs_per_sec,
+        "unit": "pairs/s",
+        "vs_baseline": pairs_per_sec / 1e11,
+    }))
+
+
+if __name__ == "__main__":
+    main()

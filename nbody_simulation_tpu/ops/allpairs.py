@@ -6,9 +6,9 @@ the whole system: a dense O(N²) interaction sweep tiled through VMEM.
 
 Design (flash-attention-style tiling):
 
-- grid = (N/TILE_I, N/TILE_J); the i axis is parallel, the j axis is an
-  accumulation ("arbitrary") axis revisiting the same output block, so Pallas
-  double-buffers the j-tile DMAs behind the VPU work.
+- grid = (Ni/TILE_I, Nj/TILE_J); the i (target) axis is parallel, the j
+  (source) axis is an accumulation ("arbitrary") axis revisiting the same
+  output block, so Pallas double-buffers the j-tile DMAs behind the VPU work.
 - targets i live on sublanes as (TILE_I, 1) columns; sources j live on lanes
   as (1, TILE_J) rows; the (TILE_I, TILE_J) interaction tile is pure VPU
   elementwise work using the exact reference force law (ops/force.pair_accel),
@@ -16,6 +16,12 @@ Design (flash-attention-style tiling):
 - zero-mass padding particles contribute exactly 0 (force numerator is
   diff*mass, src/main.rs:252), and self-pairs are masked by the is_normal
   guard — so no special-casing of the diagonal tiles is needed.
+- targets and sources may be different arrays (``src_pos``/``src_mass``),
+  which is what the multi-chip ring exchange (parallel/ring.py) uses to
+  interact the local shard with each visiting tile.
+
+Measured on v5e (N=262144, fp32): 1.99e11 pairwise interactions/sec with
+rcp="newton"; 2.18e11 at N=1M. North-star target: 1e11 (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -27,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbody_simulation_tpu.ops.force import pair_accel
+from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL, pair_accel
 
 # Rough VPU op count per pairwise interaction (incl. the fp32 divide).
 FLOPS_PER_PAIR = 22
@@ -47,7 +53,6 @@ def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
     else:
         # Same law, but the division is an approximate VPU reciprocal,
         # optionally sharpened by one Newton step r*(2 - den*r) (~1 ulp).
-        from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL
         s = jnp.abs(dx) + jnp.abs(dy)
         normal = jnp.isfinite(s) & (s >= FLT_MIN_NORMAL)
         d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
@@ -68,42 +73,49 @@ def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
     static_argnames=("softening2", "tile_i", "tile_j", "interpret", "rcp"),
 )
 def allpairs_accel(pos: jax.Array, mass: jax.Array,
+                   src_pos: jax.Array | None = None,
+                   src_mass: jax.Array | None = None,
                    softening2: float = 1e-3,
                    tile_i: int = 512, tile_j: int = 2048,
                    interpret: bool = False, rcp: str = "newton") -> jax.Array:
-    """Direct all-pairs acceleration via the blocked Pallas kernel.
+    """Acceleration of targets ``pos`` due to sources (default: themselves).
 
-    ``pos`` f32[N,2], ``mass`` f32[N]; N must be a multiple of both tile
-    sizes (use ``ParticleState.pad_to``). Returns f32[N,2].
+    ``pos`` f32[Ni,2], ``mass`` f32[Ni]; optional ``src_pos`` f32[Nj,2],
+    ``src_mass`` f32[Nj]. Ni/Nj must be multiples of the tile sizes (use
+    ``ParticleState.pad_to``). Returns f32[Ni,2].
 
     ``rcp`` selects how 1/(s*d2) is computed:
       - "exact": IEEE fp32 division (bitwise-matches the oracle on CPU)
       - "newton" (default): VPU approximate reciprocal + one Newton step —
         measured ≤6e-6 relative deviation from exact, ~1.5x faster
-        (v5e: 1.99e11 pairs/s at N=262144 vs 1.33e11 exact)
       - "approx": raw approximate reciprocal (≤6e-4 deviation, fastest)
     """
-    n = pos.shape[0]
-    tile_i = min(tile_i, n)
-    tile_j = min(tile_j, n)
-    if n % tile_i or n % tile_j:
-        raise ValueError(f"N={n} not divisible by tiles ({tile_i},{tile_j})")
-
-    x_col = pos[:, 0:1]                     # (N, 1) — i layout
-    y_col = pos[:, 1:2]
-    x_row = pos[:, 0].reshape(1, n)         # (1, N) — j layout
-    y_row = pos[:, 1].reshape(1, n)
-    m_row = mass.reshape(1, n)
-
+    if src_pos is None:
+        src_pos = pos
+    if src_mass is None:
+        src_mass = mass
+    ni = pos.shape[0]
+    nj = src_pos.shape[0]
+    tile_i = min(tile_i, ni)
+    tile_j = min(tile_j, nj)
+    if ni % tile_i or nj % tile_j:
+        raise ValueError(
+            f"N=({ni},{nj}) not divisible by tiles ({tile_i},{tile_j})")
     if rcp not in ("exact", "newton", "approx"):
         raise ValueError(f"rcp must be exact|newton|approx, got {rcp!r}")
-    if jax.default_backend() == "cpu":
+    if interpret or jax.default_backend() == "cpu":
         interpret = True  # Mosaic only targets TPU; CPU runs interpreted
+        rcp = "exact"     # pl.reciprocal(approx) has no interpreter lowering
 
-    if interpret and rcp != "exact":
-        rcp = "exact"  # pl.reciprocal(approx) has no interpreter lowering
-    grid = (n // tile_i, n // tile_j)
-    kernel = functools.partial(_allpairs_kernel, softening2=softening2, rcp=rcp)
+    x_col = pos[:, 0:1]                       # (Ni, 1) — target layout
+    y_col = pos[:, 1:2]
+    x_row = src_pos[:, 0].reshape(1, nj)      # (1, Nj) — source layout
+    y_row = src_pos[:, 1].reshape(1, nj)
+    m_row = src_mass.reshape(1, nj)
+
+    grid = (ni // tile_i, nj // tile_j)
+    kernel = functools.partial(_allpairs_kernel, softening2=softening2,
+                               rcp=rcp)
 
     ax, ay = pl.pallas_call(
         kernel,
@@ -120,15 +132,15 @@ def allpairs_accel(pos: jax.Array, mass: jax.Array,
             pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ni, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ni, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=FLOPS_PER_PAIR * n * n,
-            bytes_accessed=5 * n * 4 * (n // tile_i) + 2 * n * 4,
+            flops=FLOPS_PER_PAIR * ni * nj,
+            bytes_accessed=3 * nj * 4 * (ni // tile_i) + 4 * ni * 4,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -1,0 +1,62 @@
+"""Full multi-chip simulation step: ring force exchange + integration.
+
+One jitted, donated computation over the mesh: particle-sharded force
+summation (ring ppermute of source tiles), semi-implicit Euler, and
+collective diagnostics via psum. This is the 'training step' of the engine
+in ML terms — the thing the driver's dryrun compiles over an N-device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nbody_simulation_tpu.config import SimConfig
+from nbody_simulation_tpu.parallel.mesh import AXIS
+from nbody_simulation_tpu.parallel.ring import ring_allpairs_accel
+from nbody_simulation_tpu.state import ParticleState
+
+
+def make_sharded_step(mesh: Mesh, config: SimConfig, axis: str = AXIS,
+                      tile_i: int | None = None, tile_j: int | None = None):
+    """Returns a jitted ``state -> state`` step sharded over ``mesh``."""
+    dt = jnp.float32(config.dt)
+    ti = tile_i or config.tile_i
+    tj = tile_j or config.tile_j
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: ParticleState) -> ParticleState:
+        acc = ring_allpairs_accel(state.pos, state.mass, mesh, axis=axis,
+                                  softening2=config.softening2,
+                                  tile_i=ti, tile_j=tj, rcp=config.rcp)
+        vel = state.vel + acc * dt
+        pos = state.pos + vel * dt
+        return state.replace(pos=pos, vel=vel)
+
+    return step
+
+
+def sharded_diagnostics(state: ParticleState, mesh: Mesh, axis: str = AXIS):
+    """Collective (psum) system diagnostics: total mass, momentum, KE.
+
+    The reference has no conserved-quantity telemetry; these support the
+    energy-drift benchmark config (BASELINE.json config 2) at scale.
+    """
+
+    def local(pos_l, vel_l, mass_l):
+        m = mass_l[:, None]
+        mom = jax.lax.psum(jnp.sum(vel_l * m, axis=0), axis)
+        ke = jax.lax.psum(jnp.sum(0.5 * mass_l * jnp.sum(vel_l ** 2, -1)), axis)
+        mtot = jax.lax.psum(jnp.sum(mass_l), axis)
+        com = jax.lax.psum(jnp.sum(pos_l * m, axis=0), axis) / mtot
+        return mom, ke, mtot, com
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis, None), P(axis)),
+                      out_specs=(P(), P(), P(), P()))
+    mom, ke, mtot, com = f(state.pos, state.vel, state.mass)
+    return {"momentum": mom, "kinetic_energy": ke,
+            "total_mass": mtot, "center_of_mass": com}
