@@ -1,0 +1,135 @@
+"""The application shell: ``python -m nbody_simulation_tpu.run``.
+
+TPU-native equivalent of the reference's main() (reference
+src/main.rs:81-184): where the reference opens a 1250x1250 winit window and
+presents frames from the snapshot channel, this headless shell consumes the
+engine's lossy snapshot queue, writes PNG frames, prints the once-per-second
+fps/ups/step/Counting telemetry (src/main.rs:148-156 semantics), and adds
+what the reference lacks: CLI config of the compile-time consts
+(src/main.rs:31-35), checkpoint/resume, and delta recording.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nbody_simulation_tpu.run",
+        description="TPU-native Barnes-Hut N-body simulator")
+    p.add_argument("--scenario", default="galaxy",
+                   choices=["galaxy", "uniform", "plummer"])
+    p.add_argument("--n", type=int, default=100_000,
+                   help="particle count for uniform/plummer scenarios")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--force-path", default="bh",
+                   choices=["direct", "pallas", "bh"])
+    p.add_argument("--theta", type=float, default=50.0,
+                   help="reference convention: accept when s/d < theta")
+    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--leaf-size", type=int, default=64)
+    p.add_argument("--world-size", type=float, default=100_000.0)
+    p.add_argument("--render-size", type=int, default=1250)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--out", type=Path, default=Path("frames"),
+                   help="directory for PNG frames (empty string disables)")
+    p.add_argument("--frame-every", type=int, default=0,
+                   help="save every k-th snapshot (0 = only the last)")
+    p.add_argument("--checkpoint", type=Path, default=None,
+                   help="save final state here")
+    p.add_argument("--resume", type=Path, default=None,
+                   help="resume from a checkpoint")
+    p.add_argument("--record", type=Path, default=None,
+                   help="zstd position-delta recording file")
+    p.add_argument("--weighted-leaf-com", action="store_true",
+                   help="fix the reference's unweighted-leaf-COM quirk")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this uses jax.config, which wins)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models import World, galaxy, plummer, uniform_disc
+    from nbody_simulation_tpu.runtime.engine import Engine
+    from nbody_simulation_tpu.utils.checkpoint import (load_checkpoint,
+                                                       save_checkpoint)
+    from nbody_simulation_tpu.utils.pngio import save_png
+    from nbody_simulation_tpu.utils.recording import Recorder
+    from nbody_simulation_tpu.utils.telemetry import RateMeter
+
+    cfg = SimConfig(force_path=args.force_path, theta=args.theta, dt=args.dt,
+                    leaf_size=args.leaf_size, world_size=args.world_size,
+                    render_size=args.render_size,
+                    unweighted_leaf_com=not args.weighted_leaf_com)
+
+    start_step = 0
+    if args.resume:
+        state, start_step = load_checkpoint(args.resume)
+    elif args.scenario == "galaxy":
+        state = galaxy(seed=args.seed, world_size=args.world_size)
+    elif args.scenario == "uniform":
+        state = uniform_disc(args.n, seed=args.seed)
+    else:
+        state = plummer(args.n, seed=args.seed)
+
+    emit = (lambda *_: None) if args.quiet else print
+    emit(f"len: {state.n_real}")  # reference prints this (src/main.rs:343)
+
+    world = World(state, cfg)
+    world.updates = start_step
+    engine = Engine(world)
+    recorder = Recorder(args.record) if args.record else None
+    meter = RateMeter(emit=emit)
+
+    if args.out:
+        args.out.mkdir(parents=True, exist_ok=True)
+
+    engine.start(max_steps=start_step + args.steps)
+    last = None
+    kept = 0
+    while True:
+        snap = engine.next_snapshot(timeout=None)
+        if snap is None:
+            break
+        last = snap
+        kept += 1
+        meter.frame(snap.step, snap.counting)
+        if args.out and args.frame_every and kept % args.frame_every == 0:
+            save_png(args.out / f"frame_{snap.step:08d}.png", snap.frame)
+        if recorder is not None:
+            recorder.maybe_record(np.asarray(world.state.pos), snap.step)
+    engine.join(timeout=600)
+    engine.stop()
+
+    if last is not None and args.out:
+        save_png(args.out / f"frame_{last.step:08d}.png", last.frame)
+        emit(f"final frame: {args.out / f'frame_{last.step:08d}.png'}")
+    if recorder is not None:
+        recorder.close()
+        emit(f"recording: {recorder.frames} frames, raw {recorder.raw_bytes}"
+             f" comp {recorder.comp_bytes}")
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, world.state.real_slice(),
+                        world.updates)
+        emit(f"checkpoint: {args.checkpoint} @ step {world.updates}")
+    emit(f"done: {world.updates - start_step} steps, "
+         f"{kept} snapshots kept, {engine.dropped} dropped")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

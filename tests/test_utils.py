@@ -1,0 +1,86 @@
+"""Checkpoint, recording, PNG IO, CLI shell."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from nbody_simulation_tpu.models.scenarios import uniform_disc
+from nbody_simulation_tpu.utils.checkpoint import (load_checkpoint,
+                                                   save_checkpoint)
+from nbody_simulation_tpu.utils.pngio import save_png
+from nbody_simulation_tpu.utils.recording import Recorder, playback
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    st = uniform_disc(300, seed=4)
+    p = tmp_path / "ck.npz"
+    save_checkpoint(p, st, step=1234)
+    st2, step = load_checkpoint(p)
+    assert step == 1234
+    assert st2.n_real == 300
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
+    np.testing.assert_array_equal(np.asarray(st.vel), np.asarray(st2.vel))
+    np.testing.assert_array_equal(np.asarray(st.mass), np.asarray(st2.mass))
+
+
+def test_recording_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 1e5, (500, 2)).astype(np.float32)
+    rec = Recorder(tmp_path / "rec.bin", every=10)
+    rec.maybe_record(pos, 0)  # primes prev
+    history = {}
+    cur = pos
+    for step in range(1, 31):
+        cur = cur + rng.normal(0, 0.1, cur.shape).astype(np.float32)
+        if rec.maybe_record(cur, step):
+            history[step] = cur.copy()
+    rec.close()
+    assert rec.frames == 3  # steps 10, 20, 30
+    assert rec.comp_bytes < rec.raw_bytes
+    for step, rpos in playback(tmp_path / "rec.bin", pos):
+        np.testing.assert_allclose(rpos, history[step], atol=1e-4)
+
+
+def test_png_roundtrip(tmp_path):
+    frame = np.random.default_rng(0).integers(
+        0, 255, (32, 16, 4)).astype(np.uint8)
+    p = tmp_path / "f.png"
+    save_png(p, frame)
+    from PIL import Image
+    back = np.asarray(Image.open(p).convert("RGBA"))
+    np.testing.assert_array_equal(back, frame)
+
+
+def test_cli_end_to_end(tmp_path):
+    out = tmp_path / "frames"
+    ck = tmp_path / "ck.npz"
+    cmd = [sys.executable, "-m", "nbody_simulation_tpu.run",
+           "--scenario", "uniform", "--n", "256", "--steps", "5",
+           "--platform", "cpu",
+           "--force-path", "direct", "--render-size", "64",
+           "--out", str(out), "--checkpoint", str(ck),
+           "--record", str(tmp_path / "rec.bin")]
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+    env.update({k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS",)})
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                       env=env, cwd=str(Path(__file__).parent.parent))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "len: 256" in r.stdout
+    assert list(out.glob("frame_*.png")), r.stdout
+    assert ck.exists()
+
+    # Resume from the checkpoint.
+    r2 = subprocess.run(
+        [sys.executable, "-m", "nbody_simulation_tpu.run", "--resume",
+         str(ck), "--steps", "3", "--force-path", "direct",
+         "--platform", "cpu",
+         "--render-size", "64", "--out", str(out)],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(Path(__file__).parent.parent))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "done: 3 steps" in r2.stdout
