@@ -44,6 +44,14 @@ class SimConfig:
     # Which force path World.step uses.
     force_path: ForcePath = "pallas"
 
+    # BH path: re-sort the particles in Morton order every k-th step. Between
+    # resorts the tree summaries (AABB/mass/COM) are STILL rebuilt from
+    # current positions every step, so force quality is unchanged — a stale
+    # order only loosens AABBs (the conservative traversal then opens a bit
+    # more). 8 ≈ the sort cost amortized to noise; set 1 to mimic the
+    # reference's full per-step rebuild exactly.
+    resort_every: int = 8
+
     # Reference quirk (src/bvh_tree.rs:98-116): a leaf's center of gravity is
     # the UNWEIGHTED mean of its particle positions, while internal-node COMs
     # are mass-weighted. True reproduces the reference; False uses the
@@ -56,6 +64,15 @@ class SimConfig:
     tile_i: int = 512
     tile_j: int = 2048
     rcp: str = "newton"
+
+    # Barnes-Hut traversal capacities: frontier slots per level and leaf-list
+    # slots per group. Overflow falls back to COM approximation (never drops
+    # force). θ=50 needs little; θ≈0.5 wants leaf_cap ≳ the near-field leaf
+    # count (raise these for high-quality runs).
+    # (16, 8) measured quality-equal to (128, 64) at θ=50 on the galaxy
+    # workload and ~3x faster; raise for small-θ physics-quality runs.
+    frontier_cap: int = 16
+    leaf_cap: int = 8
 
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).

@@ -50,15 +50,64 @@ class World:
         pad = max(config.tile_i, config.tile_j) if config.force_path == "pallas" else 256
         self.state = state.pad_to(pad)
         self.updates = 0
-        accel = make_accel_fn(config)
         dt = config.dt
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def _step(st: ParticleState) -> ParticleState:
-            return euler_step(st, accel(st.pos, st.mass), dt)
+        if config.force_path == "bh":
+            self._init_bh_step(config, dt)
+        else:
+            accel = make_accel_fn(config)
 
-        self._step = _step
-        self._accel = jax.jit(accel)
+            @functools.partial(jax.jit, donate_argnums=0)
+            def _step(st: ParticleState) -> ParticleState:
+                return euler_step(st, accel(st.pos, st.mass), dt)
+
+            self._step = _step
+            self._accel = jax.jit(accel)
+
+    def _init_bh_step(self, config: SimConfig, dt: float) -> None:
+        """BH fast path: the particle array is kept in Morton order like the
+        reference's in-place partition reorders it (src/bvh_tree.rs:74-76);
+        summaries rebuild every step, the sort refreshes every
+        config.resort_every steps."""
+        from nbody_simulation_tpu.ops.morton import morton_order
+        from nbody_simulation_tpu.ops.traversal import bh_accel_sorted
+        from nbody_simulation_tpu.ops.tree import summarize_sorted
+
+        n = self.state.n
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _step(st: ParticleState, order) -> ParticleState:
+            spos = st.pos[order]
+            svel = st.vel[order]
+            smass = st.mass[order]
+            tree = summarize_sorted(
+                spos, smass, leaf_size=config.leaf_size,
+                unweighted_leaf_com=config.unweighted_leaf_com)
+            acc = bh_accel_sorted(tree, theta=config.theta,
+                                  softening2=config.softening2,
+                                  frontier_cap=config.frontier_cap,
+                                  leaf_cap=config.leaf_cap)[:n]
+            vel = svel + acc * jnp.float32(dt)
+            pos = spos + vel * jnp.float32(dt)
+            return st.replace(pos=pos, vel=vel, mass=smass)
+
+        identity = jnp.arange(n, dtype=jnp.int32)
+        ws = config.world_size
+
+        def step_bh(st: ParticleState) -> ParticleState:
+            if self.updates % max(config.resort_every, 1) == 0:
+                order = morton_order(st.pos, st.mass, ws)
+            else:
+                order = identity
+            return _step(st, order)
+
+        self._step = step_bh
+
+        def accel_fn(pos, mass):
+            from nbody_simulation_tpu.ops.traversal import bh_accel_fn
+            return bh_accel_fn(config)(pos, mass)
+
+        self._accel = accel_fn
 
     # -- fused fast path ------------------------------------------------------
     def step(self) -> None:

@@ -1,34 +1,38 @@
-"""Barnes-Hut traversal as level-synchronous masked BFS over the flat BVH.
+"""Barnes-Hut traversal: masked BFS planning + one Pallas force sweep.
 
 The reference walks the tree recursively per particle (reference
 src/main.rs:348-386): a node's COM is accepted when the particle is outside
 the node AABB **and** ``max(w,h)^2 < d2(particle, com) * THETA^2``
 (src/main.rs:370-373, the inverted s/d<θ convention with θ=50 default);
-otherwise both children are visited, and leaves do the exact per-particle
+otherwise both children are visited, and leaves run the exact per-particle
 loop (src/main.rs:355-362).
 
-TPU has no recursion or per-particle control flow, so this re-design walks
-the tree once per **leaf group** (the 64 Morton-adjacent particles of one
-leaf), breadth-first with fixed-capacity frontiers:
+TPU has no recursion or per-particle control flow, so this re-design splits
+the walk into a cheap planning pass and a dense compute pass:
 
-- the acceptance test is made *group-conservative*: the node must be
-  disjoint from the group's AABB (⊇ "every particle outside": the
-  reference's Rectangle::contains is strict, src/bvh_tree.rs:15-20, so
-  touching boxes count as outside) and the theta test must hold at the
-  minimum distance from the group AABB to the node COM. A node accepted for
-  the group is accepted by every particle in it under the reference rule;
-  nodes the reference would accept for *some* particles are opened instead,
-  so the result is at least as accurate as the per-particle walk.
-- accepted nodes contribute their (COM, total-mass) to all 64 group
-  particles through the exact force law; opened nodes push their children
-  into the next level's frontier; nodes reaching the leaf level land in a
-  leaf list that is processed as dense 64×(leaf_cap·64) exact tiles.
-- capacity overflow degrades gracefully: a node that cannot fit in the
-  frontier/leaf list is **accepted** (COM approximation) rather than dropped,
-  so forces are never lost; with caps ≥ level widths the walk is exact-BH.
+1. **Planning (XLA, integer/bool ops only).** Each **leaf group** (the 64
+   Morton-adjacent particles of one leaf) walks the tree level-synchronously
+   with a fixed-capacity frontier of nodes to open. The acceptance test is
+   *group-conservative*: the node must be disjoint from the group's AABB
+   (⊇ "every particle outside" — the reference's Rectangle::contains is
+   strict, src/bvh_tree.rs:15-20, so touching boxes count as outside) and
+   the θ test must hold at the minimum distance from the group AABB to the
+   node COM. Anything the group-test accepts would be accepted by every
+   particle under the reference rule; borderline nodes are opened instead,
+   so the result is at least as accurate as the per-particle walk.
+2. **Source assembly.** Accepted nodes need no compaction at all: each
+   level's candidate array becomes a column-slice of the per-group source
+   list with non-accepted masses zeroed (zero mass ⇒ zero force, exactly as
+   the force law computes it). Nodes reaching the leaf level land in a
+   compacted per-group leaf list whose particle tiles are gathered in.
+3. **Force sweep (Pallas).** One rectangular kernel: for group g, its S
+   targets interact with its C = depth·2F + L·S sources — pure VPU tiles at
+   all-pairs kernel efficiency.
 
-Empty nodes (padding) have zero mass and zero-size AABBs at a far-away
-point, so they are accepted everywhere and contribute nothing.
+Capacity overflow degrades gracefully: a node that cannot fit in the
+frontier or leaf list is **accepted** (COM approximation) rather than
+dropped, so force is never lost; with caps ≥ level widths the walk is
+exact Barnes-Hut, and θ=0 reproduces direct summation.
 """
 
 from __future__ import annotations
@@ -37,14 +41,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
+from nbody_simulation_tpu.ops.allpairs import _allpairs_kernel
 from nbody_simulation_tpu.ops.force import pair_accel
 from nbody_simulation_tpu.ops.tree import FlatTree, build_tree
 
 
 def accept_node_scalar(p, nmin, nmax, com, theta):
-    """The reference's per-particle criterion (src/main.rs:370-373), for
-    tests: accept iff NOT contains(p) and max(w,h)^2 < d2(p,com)·θ²."""
+    """The reference's per-particle criterion (src/main.rs:370-373), kept
+    for tests: accept iff NOT contains(p) and max(w,h)^2 < d2(p,com)·θ²."""
     contains = ((p[1] > nmin[1]) & (p[0] > nmin[0])
                 & (p[0] < nmax[0]) & (p[1] < nmax[1]))
     size = nmax - nmin
@@ -54,13 +61,11 @@ def accept_node_scalar(p, nmin, nmax, com, theta):
 
 
 def _accept_group(gmin, gmax, nmin, nmax, ncom, theta):
-    """Group-conservative acceptance. All inputs broadcast to (..., 2)."""
-    # Disjoint (touching counts, since contains is strict).
+    """Group-conservative acceptance. gmin/gmax: (G,1,2); node data (G,K,2)."""
     disjoint = ((gmax[..., 0] <= nmin[..., 0]) | (gmin[..., 0] >= nmax[..., 0])
                 | (gmax[..., 1] <= nmin[..., 1]) | (gmin[..., 1] >= nmax[..., 1]))
     size = nmax - nmin
     s2 = jnp.maximum(size[..., 0], size[..., 1]) ** 2
-    # Min squared distance from the group AABB to the node COM.
     dx = jnp.maximum(jnp.maximum(gmin[..., 0] - ncom[..., 0],
                                  ncom[..., 0] - gmax[..., 0]), 0.0)
     dy = jnp.maximum(jnp.maximum(gmin[..., 1] - ncom[..., 1],
@@ -69,134 +74,189 @@ def _accept_group(gmin, gmax, nmin, nmax, ncom, theta):
     return disjoint & (s2 < d2 * jnp.float32(theta * theta))
 
 
-def _com_contribution(px, py, com, massf, softening2):
-    """Accumulate accepted-node COM forces. px,py: (Gc,S); com: (Gc,K,2);
-    massf: (Gc,K) with non-accepted entries zeroed. Returns (Gc,S,2)."""
-    dx = com[:, None, :, 0] - px[:, :, None]
-    dy = com[:, None, :, 1] - py[:, :, None]
-    ax, ay = pair_accel(dx, dy, massf[:, None, :], softening2)
-    return jnp.stack([ax.sum(-1), ay.sum(-1)], axis=-1)
+def _compact(flags: jax.Array, values: jax.Array, cap: int):
+    """Scatter ``values`` where ``flags`` into per-row lists of width cap.
+
+    Returns (lists (G,cap) int32, valid (G,cap) bool, overflow (G,K) bool).
+    """
+    g, _ = flags.shape
+    slot = jnp.cumsum(flags, axis=1) - 1
+    overflow = flags & (slot >= cap)
+    store = flags & (slot < cap)
+    rows = jnp.arange(g, dtype=jnp.int32)[:, None] * cap
+    flat_idx = jnp.where(store, rows + slot, g * cap)  # OOB → dropped
+    lists = (jnp.zeros((g * cap,), jnp.int32)
+             .at[flat_idx.ravel()].set(values.ravel(), mode="drop")
+             .reshape(g, cap))
+    valid = (jnp.zeros((g * cap,), dtype=bool)
+             .at[flat_idx.ravel()].set(store.ravel(), mode="drop")
+             .reshape(g, cap))
+    return lists, valid, overflow
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("theta", "softening2", "frontier_cap",
-                                    "leaf_cap", "group_chunk"))
-def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
-                    softening2: float = 1e-3, frontier_cap: int = 128,
-                    leaf_cap: int = 64, group_chunk: int = 256) -> jax.Array:
-    """Accelerations for all (sorted, padded) particles in the tree.
+def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
+                    leaf_cap: int):
+    """BFS planning pass → per-group source lists (src_x, src_y, src_m),
+    each (G, C). Masked (zero-mass) entries contribute zero force.
 
-    Returns f32[n_leaves*leaf_size, 2] in sorted order.
+    The walk starts at level k0 = log2(F) with ALL 2^k0 nodes in the
+    frontier: levels above k0 can never produce a finer answer than their
+    children, so skipping them only refines the approximation (and saves
+    k0 planning iterations — the gathers here are the BH wall-clock cost).
     """
     depth = tree.depth
     n_leaves, S, _ = tree.leaf_pos.shape
     F = frontier_cap
-    L = leaf_cap
-    gc = min(group_chunk, n_leaves)
-    assert n_leaves % gc == 0, (n_leaves, gc)
     leaves = tree.levels[depth]
+    gmin = leaves.aabb_min[:, None, :]     # (G,1,2) own-leaf AABB
+    gmax = leaves.aabb_max[:, None, :]
 
-    def chunk_fn(g0):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, g0, gc, 0)
-        px = sl(tree.leaf_pos)[..., 0]          # (Gc, S)
-        py = sl(tree.leaf_pos)[..., 1]
-        gmin = sl(leaves.aabb_min)              # (Gc, 2) own-leaf AABB
-        gmax = sl(leaves.aabb_max)
-        acc = jnp.zeros((gc, S, 2), jnp.float32)
+    # Deepest level whose full width fits the frontier.
+    k0 = min(max(F.bit_length() - 1, 0), depth - 1) if depth > 0 else 0
 
-        # Frontier of nodes to OPEN at the current level.
-        frontier = jnp.zeros((gc, F), jnp.int32)      # level-0 root = id 0
-        valid = jnp.zeros((gc, F), dtype=bool).at[:, 0].set(True)
+    src_x, src_y, src_m = [], [], []
+    width = 1 << k0
+    frontier = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
+                                (n_leaves, width))
+    if width < F:
+        frontier = jnp.concatenate(
+            [frontier, jnp.zeros((n_leaves, F - width), jnp.int32)], axis=1)
+    valid = (jnp.arange(F, dtype=jnp.int32)[None, :] < width)
+    valid = jnp.broadcast_to(valid, (n_leaves, F))
+    leaf_ids = jnp.zeros((n_leaves, 1), jnp.int32)
+    leaf_valid = jnp.ones((n_leaves, 1), dtype=bool)
 
-        for lvl in range(depth):
-            child_lv = tree.levels[lvl + 1]
-            cand = jnp.concatenate([frontier * 2, frontier * 2 + 1], axis=1)
-            cvalid = jnp.concatenate([valid, valid], axis=1)      # (Gc, 2F)
-            nmin = child_lv.aabb_min[cand]
-            nmax = child_lv.aabb_max[cand]
-            ncom = child_lv.com[cand]
-            nmassf = child_lv.mass_i[cand].astype(jnp.float32)
-            nonempty = child_lv.count[cand] > 0
-            accept = cvalid & _accept_group(gmin[:, None, :], gmax[:, None, :],
-                                            nmin, nmax, ncom, theta)
-            opened = cvalid & ~accept & nonempty
+    for lvl in range(k0, depth):
+        child_lv = tree.levels[lvl + 1]
+        cand = jnp.concatenate([frontier * 2, frontier * 2 + 1], axis=1)
+        cvalid = jnp.concatenate([valid, valid], axis=1)        # (G, 2F)
+        rec = child_lv.packed[cand]                             # ONE gather
+        nmin = rec[..., 0:2]
+        nmax = rec[..., 2:4]
+        ncom = rec[..., 4:6]
+        nmassf = rec[..., 6]
+        nonempty = rec[..., 7] > 0
+        accept = cvalid & _accept_group(gmin, gmax, nmin, nmax, ncom, theta)
+        opened = cvalid & ~accept & nonempty
 
-            if lvl + 1 < depth:
-                # Compact opened into the next frontier; overflow → accept.
-                slot = jnp.cumsum(opened, axis=1) - 1
-                overflow = opened & (slot >= F)
-                store = opened & (slot < F)
-                rows = jnp.arange(gc, dtype=jnp.int32)[:, None] * F
-                flat_idx = jnp.where(store, rows + slot, gc * F)  # OOB → drop
-                frontier = (jnp.zeros((gc * F,), jnp.int32)
-                            .at[flat_idx.ravel()]
-                            .set(cand.ravel(), mode="drop")
-                            .reshape(gc, F))
-                valid = (jnp.zeros((gc * F,), dtype=bool)
-                         .at[flat_idx.ravel()]
-                         .set(store.ravel(), mode="drop")
-                         .reshape(gc, F))
-                use_com = accept | overflow
-            else:
-                # Last level: opened nodes are leaves → leaf list.
-                slot = jnp.cumsum(opened, axis=1) - 1
-                overflow = opened & (slot >= L)
-                store = opened & (slot < L)
-                rows = jnp.arange(gc, dtype=jnp.int32)[:, None] * L
-                flat_idx = jnp.where(store, rows + slot, gc * L)  # OOB → drop
-                leaf_ids = (jnp.zeros((gc * L,), jnp.int32)
-                            .at[flat_idx.ravel()]
-                            .set(cand.ravel(), mode="drop")
-                            .reshape(gc, L))
-                leaf_valid = (jnp.zeros((gc * L,), dtype=bool)
-                              .at[flat_idx.ravel()]
-                              .set(store.ravel(), mode="drop")
-                              .reshape(gc, L))
-                use_com = accept | overflow
-
-            acc = acc + _com_contribution(
-                px, py, ncom, jnp.where(use_com, nmassf, 0.0), softening2)
-
-        if depth == 0:
-            # Degenerate single-leaf tree: exact within the only leaf.
-            leaf_ids = jnp.zeros((gc, 1), jnp.int32)
-            leaf_valid = jnp.ones((gc, 1), dtype=bool)
-            L_eff = 1
+        if lvl + 1 < depth:
+            frontier, valid, overflow = _compact(opened, cand, F)
         else:
-            L_eff = L
+            leaf_ids, leaf_valid, overflow = _compact(opened, cand, leaf_cap)
+        use_com = accept | overflow  # overflow → COM fallback, never dropped
 
-        # Exact phase: dense (S) x (L_eff*S) tiles of the reference leaf loop.
-        src_pos = tree.leaf_pos[leaf_ids].reshape(gc, L_eff * S, 2)
-        src_mass = (tree.leaf_mass[leaf_ids]
-                    * leaf_valid[..., None]).reshape(gc, L_eff * S)
-        dx = src_pos[:, None, :, 0] - px[:, :, None]
-        dy = src_pos[:, None, :, 1] - py[:, :, None]
-        ax, ay = pair_accel(dx, dy, src_mass[:, None, :], softening2)
-        acc = acc + jnp.stack([ax.sum(-1), ay.sum(-1)], axis=-1)
-        return acc
+        src_x.append(ncom[..., 0])
+        src_y.append(ncom[..., 1])
+        src_m.append(jnp.where(use_com, nmassf, 0.0))
 
-    starts = jnp.arange(0, n_leaves, gc, dtype=jnp.int32)
-    out = jax.lax.map(chunk_fn, starts)          # (n_chunks, Gc, S, 2)
-    return out.reshape(n_leaves * S, 2)
+    # Leaf tiles: gather (G, L, S) particle data; invalid slots masked.
+    lp = tree.leaf_pos[leaf_ids]                        # (G, L, S, 2)
+    lm = tree.leaf_mass[leaf_ids] * leaf_valid[..., None]
+    L = leaf_ids.shape[1]
+    src_x.append(lp[..., 0].reshape(n_leaves, L * S))
+    src_y.append(lp[..., 1].reshape(n_leaves, L * S))
+    src_m.append(lm.reshape(n_leaves, L * S))
+
+    return (jnp.concatenate(src_x, axis=1),
+            jnp.concatenate(src_y, axis=1),
+            jnp.concatenate(src_m, axis=1))
+
+
+def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
+                   softening2: float, rcp: str, interpret: bool,
+                   tile_j: int = 4096) -> jax.Array:
+    """Targets (G, S, 2) vs per-group sources (G, C) → accel (G, S, 2)."""
+    if interpret:
+        rcp = "exact"  # pl.reciprocal(approx) has no interpreter lowering
+    g, s, _ = tgt_pos.shape
+    c = src_x.shape[1]
+    # Pick a lane-aligned j tile, then pad C to a multiple of it with inert
+    # (zero-mass) sources.
+    tj = min(tile_j, -(-c // 128) * 128)
+    target_c = -(-c // tj) * tj
+    if target_c != c:
+        z = jnp.zeros((g, target_c - c), jnp.float32)
+        src_x = jnp.concatenate([src_x, z], 1)
+        src_y = jnp.concatenate([src_y, z], 1)
+        src_m = jnp.concatenate([src_m, z], 1)
+        c = target_c
+
+    x_col = tgt_pos[..., 0].reshape(g * s, 1)
+    y_col = tgt_pos[..., 1].reshape(g * s, 1)
+    # Sources flattened to (1, G*C): Mosaic requires the sublane block dim to
+    # divide 8 or equal the array dim, so per-group rows can't be blocked as
+    # (1, tj) out of (G, C) — but in a flat row, group g's tile j is simply
+    # block g*(C/tj)+j.
+    src_x = src_x.reshape(1, g * c)
+    src_y = src_y.reshape(1, g * c)
+    src_m = src_m.reshape(1, g * c)
+    jt = c // tj  # j-tiles per group
+    kernel = functools.partial(_allpairs_kernel, softening2=softening2,
+                               rcp=rcp)
+    grid = (g, jt)
+    ax, ay = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g * s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((g * s, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_col, y_col, src_x, src_y, src_m)
+    return jnp.concatenate([ax, ay], 1).reshape(g, s, 2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("theta", "softening2", "frontier_cap",
+                                    "leaf_cap", "interpret"))
+def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
+                    softening2: float = 1e-3, frontier_cap: int = 32,
+                    leaf_cap: int = 16, interpret: bool = False) -> jax.Array:
+    """Accelerations for all (sorted, padded) particles in the tree.
+
+    Returns f32[n_leaves*leaf_size, 2] in sorted order.
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_leaves, S, _ = tree.leaf_pos.shape
+    src_x, src_y, src_m = bh_plan_sources(tree, theta, frontier_cap, leaf_cap)
+    acc = _grouped_force(tree.leaf_pos, src_x, src_y, src_m,
+                         softening2=softening2, rcp="newton",
+                         interpret=interpret)
+    return acc.reshape(n_leaves * S, 2)
 
 
 def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
              softening2: float = 1e-3, leaf_size: int = 64,
              world_size: float = 100_000.0, unweighted_leaf_com: bool = True,
-             frontier_cap: int = 128, leaf_cap: int = 64,
-             group_chunk: int = 256) -> jax.Array:
-    """Full Barnes-Hut acceleration: sort + build + traverse + unsort.
+             frontier_cap: int = 32, leaf_cap: int = 16,
+             group_chunk: int | None = None) -> jax.Array:
+    """Full Barnes-Hut acceleration: sort + build + plan + sweep + unsort.
 
-    Returns accelerations in the ORIGINAL particle order.
+    Returns accelerations in the ORIGINAL particle order. ``group_chunk`` is
+    accepted for API compatibility and ignored (the planning pass is cheap
+    enough to run unchunked).
     """
     n = pos.shape[0]
     tree, order = build_tree(pos, mass, leaf_size=leaf_size,
                              world_size=world_size,
                              unweighted_leaf_com=unweighted_leaf_com)
     acc_sorted = bh_accel_sorted(tree, theta=theta, softening2=softening2,
-                                 frontier_cap=frontier_cap, leaf_cap=leaf_cap,
-                                 group_chunk=min(group_chunk,
-                                                 tree.leaf_pos.shape[0]))
+                                 frontier_cap=frontier_cap, leaf_cap=leaf_cap)
     return jnp.zeros((n, 2), jnp.float32).at[order].set(acc_sorted[:n])
 
 
@@ -205,4 +265,5 @@ def bh_accel_fn(config):
     return functools.partial(
         bh_accel, theta=config.theta, softening2=config.softening2,
         leaf_size=config.leaf_size, world_size=config.world_size,
-        unweighted_leaf_com=config.unweighted_leaf_com)
+        unweighted_leaf_com=config.unweighted_leaf_com,
+        frontier_cap=config.frontier_cap, leaf_cap=config.leaf_cap)

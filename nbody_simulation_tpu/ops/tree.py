@@ -49,6 +49,15 @@ class Level(NamedTuple):
     mass_i: jax.Array     # (2^l,) int32 — exact integer mass sum
     count: jax.Array      # (2^l,) int32 — real (non-padding) members
 
+    @property
+    def packed(self) -> jax.Array:
+        """(2^l, 8) f32 record [min_x,min_y,max_x,max_y,com_x,com_y,mass,count]
+        so the traversal planner gathers node data in ONE gather."""
+        return jnp.concatenate([
+            self.aabb_min, self.aabb_max, self.com,
+            self.mass_i.astype(jnp.float32)[:, None],
+            self.count.astype(jnp.float32)[:, None]], axis=1)
+
 
 class FlatTree(NamedTuple):
     """levels[0] = root ... levels[depth] = leaves; leaf data is the sorted
@@ -124,24 +133,23 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "world_size",
+@functools.partial(jax.jit, static_argnames=("leaf_size",
                                              "unweighted_leaf_com"))
-def build_tree(pos: jax.Array, mass: jax.Array,
-               leaf_size: int = 64, world_size: float = 100_000.0,
-               unweighted_leaf_com: bool = True):
-    """Morton-sort the particles and build the flat BVH.
+def summarize_sorted(spos: jax.Array, smass: jax.Array,
+                     leaf_size: int = 64,
+                     unweighted_leaf_com: bool = True) -> FlatTree:
+    """Build the flat BVH over ALREADY spatially-ordered particles.
 
-    Returns ``(tree, order)`` where ``order`` is the applied permutation
-    (``sorted_x = x[order]``). Like the reference's in-place partition
-    (src/bvh_tree.rs:74-76), the sorted order becomes the particle order for
-    the remainder of the step.
+    This is the bottom-up summarize pass alone (src/bvh_tree.rs:133-158
+    semantics) — cheap reshape-reductions, no sort. Used every step when the
+    Morton order is reused across steps (World resort_every > 1): AABBs,
+    masses and COMs are always recomputed from the CURRENT positions, so
+    forces stay exact-BH; a stale order only makes leaf AABBs overlap a bit
+    more, which the conservative traversal handles by opening more nodes.
     """
-    n = pos.shape[0]
+    n = spos.shape[0]
     n_leaves = _next_pow2(-(-n // leaf_size))
     n_pad = n_leaves * leaf_size
-    order = morton_order(pos, mass, world_size)
-    spos = pos[order]
-    smass = mass[order]
     if n_pad != n:
         extra = n_pad - n
         spos = jnp.concatenate(
@@ -154,5 +162,22 @@ def build_tree(pos: jax.Array, mass: jax.Array,
     while levels[0].aabb_min.shape[0] > 1:
         levels.insert(0, _combine(levels[0]))
 
-    tree = FlatTree(levels=levels, leaf_pos=pos3, leaf_mass=mass2)
+    return FlatTree(levels=levels, leaf_pos=pos3, leaf_mass=mass2)
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "world_size",
+                                             "unweighted_leaf_com"))
+def build_tree(pos: jax.Array, mass: jax.Array,
+               leaf_size: int = 64, world_size: float = 100_000.0,
+               unweighted_leaf_com: bool = True):
+    """Morton-sort the particles and build the flat BVH.
+
+    Returns ``(tree, order)`` where ``order`` is the applied permutation
+    (``sorted_x = x[order]``). Like the reference's in-place partition
+    (src/bvh_tree.rs:74-76), the sorted order becomes the particle order for
+    the remainder of the step.
+    """
+    order = morton_order(pos, mass, world_size)
+    tree = summarize_sorted(pos[order], mass[order], leaf_size=leaf_size,
+                            unweighted_leaf_com=unweighted_leaf_com)
     return tree, order

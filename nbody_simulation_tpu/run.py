@@ -91,7 +91,7 @@ def main(argv=None) -> int:
 
     world = World(state, cfg)
     world.updates = start_step
-    engine = Engine(world)
+    engine = Engine(world, include_particles=bool(args.record))
     recorder = Recorder(args.record) if args.record else None
     meter = RateMeter(emit=emit)
 
@@ -110,8 +110,8 @@ def main(argv=None) -> int:
         meter.frame(snap.step, snap.counting)
         if args.out and args.frame_every and kept % args.frame_every == 0:
             save_png(args.out / f"frame_{snap.step:08d}.png", snap.frame)
-        if recorder is not None:
-            recorder.maybe_record(np.asarray(world.state.pos), snap.step)
+        if recorder is not None and snap.pos is not None:
+            recorder.maybe_record(snap.pos, snap.step)
     engine.join(timeout=600)
     engine.stop()
 

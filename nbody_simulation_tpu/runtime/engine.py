@@ -12,7 +12,17 @@ but saving the render work as well.
 
 Snapshot wire format (little-endian):
   u64 step | f64 build_bvh | f64 sum_gravity | f64 post_calculations |
-  u32 height | u32 width | RGBA8 frame bytes
+  u32 height | u32 width | u32 n_particles | RGBA8 frame bytes |
+  [f32 pos (n,2) if n_particles > 0]
+
+Positions ride along only when ``include_particles`` is set (recording) —
+the reference ships the full particle vec every snapshot
+(src/main.rs:138); at TPU scale that is opt-in.
+
+NOTE on thread safety: consumers must NEVER touch ``world.state`` while the
+engine runs — the step donates its input buffers, so the array a consumer
+holds can be invalidated mid-read. Everything a consumer needs is in the
+snapshot, fetched on the producer thread between steps.
 """
 
 from __future__ import annotations
@@ -29,7 +39,7 @@ from nbody_simulation_tpu.ops.raster import render_frame
 from nbody_simulation_tpu.runtime.queue import SnapshotQueue
 from nbody_simulation_tpu.utils.telemetry import Counting
 
-_HDR = struct.Struct("<Qdddii")
+_HDR = struct.Struct("<Qdddiii")
 
 
 @dataclass
@@ -37,30 +47,42 @@ class Snapshot:
     step: int
     counting: Counting
     frame: np.ndarray  # (H, W, 4) uint8
+    pos: np.ndarray | None = None  # (n, 2) f32, only with include_particles
 
     def pack(self) -> bytes:
         h, w = self.frame.shape[:2]
-        return _HDR.pack(self.step, self.counting.build_bvh,
-                         self.counting.sum_gravity,
-                         self.counting.post_calculations, h, w) + \
+        n = 0 if self.pos is None else self.pos.shape[0]
+        out = _HDR.pack(self.step, self.counting.build_bvh,
+                        self.counting.sum_gravity,
+                        self.counting.post_calculations, h, w, n) + \
             self.frame.tobytes()
+        if n:
+            out += np.ascontiguousarray(self.pos, np.float32).tobytes()
+        return out
 
     @classmethod
     def unpack(cls, data: bytes) -> "Snapshot":
-        step, b, s, p, h, w = _HDR.unpack_from(data)
+        step, b, s, p, h, w, n = _HDR.unpack_from(data)
         frame = np.frombuffer(data, np.uint8, h * w * 4,
                               offset=_HDR.size).reshape(h, w, 4)
-        return cls(step, Counting(b, s, p), frame)
+        pos = None
+        if n:
+            pos = np.frombuffer(data, np.float32, n * 2,
+                                offset=_HDR.size + h * w * 4).reshape(n, 2)
+        return cls(step, Counting(b, s, p), frame, pos)
 
 
 class Engine:
     """Physics thread + lossy snapshot queue around a World."""
 
     def __init__(self, world: World, queue_depth: int = 2,
-                 steps_per_snapshot: int = 1):
+                 steps_per_snapshot: int = 1, include_particles: bool = False):
         self.world = world
+        self.include_particles = include_particles
         cfg: SimConfig = world.config
         slot = _HDR.size + cfg.render_size * cfg.render_size * 4
+        if include_particles:
+            slot += world.state.n_real * 8
         self.queue = SnapshotQueue(capacity=queue_depth, slot_bytes=slot)
         self.steps_per_snapshot = steps_per_snapshot
         self.counting = Counting()
@@ -82,8 +104,13 @@ class Engine:
                                          world_size=cfg.world_size,
                                          render_size=cfg.render_size,
                                          heavy_weight=cfg.heavy_weight)
+                    pos = None
+                    if self.include_particles:
+                        # Safe here: the producer thread owns the state
+                        # between steps; no donation is in flight.
+                        pos = np.asarray(st.pos[:st.n_real])
                     snap = Snapshot(self.world.updates, self.counting.copy(),
-                                    np.asarray(frame))
+                                    np.asarray(frame), pos)
                     self.queue.try_push(snap.pack())
         except BaseException as e:  # surfaced via .error / stop()
             self._error = e

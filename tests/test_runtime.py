@@ -73,7 +73,13 @@ def test_snapshot_roundtrip():
     r = Snapshot.unpack(s.pack())
     assert r.step == 42
     assert r.counting.sum_gravity == 2.5
+    assert r.pos is None
     np.testing.assert_array_equal(r.frame, frame)
+    # With particle positions riding along (recording mode).
+    pos = np.arange(14, dtype=np.float32).reshape(7, 2)
+    r2 = Snapshot.unpack(Snapshot(7, Counting(), frame, pos).pack())
+    np.testing.assert_array_equal(r2.pos, pos)
+    np.testing.assert_array_equal(r2.frame, frame)
 
 
 def test_engine_end_to_end():

@@ -76,8 +76,9 @@ def test_theta_half_close_to_direct():
     # Physics-quality config: mass-weighted leaf COMs.
     pos, mass = cloud(2048)
     want = np.asarray(direct_accel(pos, mass))
-    got = np.asarray(bh_accel(pos, mass, theta=0.5, group_chunk=32,
-                              unweighted_leaf_com=False))
+    # Caps sized to the scenario (32 leaves): no overflow fallback in play.
+    got = np.asarray(bh_accel(pos, mass, theta=0.5, frontier_cap=64,
+                              leaf_cap=32, unweighted_leaf_com=False))
     e = rel_err(got, want)
     assert np.percentile(e, 99) < 2e-3, np.percentile(e, 99)
     assert np.median(e) < 1e-4, np.median(e)
@@ -89,9 +90,9 @@ def test_unweighted_leaf_com_quirk_behaves_like_reference():
     # noticeably off — that IS the reference behavior. The quirk must only
     # matter when masses are non-uniform.
     pos, mass = cloud(2048, heavy=False)
-    want = np.asarray(bh_accel(pos, mass, theta=0.5, group_chunk=32,
+    want = np.asarray(bh_accel(pos, mass, theta=0.5,
                                unweighted_leaf_com=False))
-    got = np.asarray(bh_accel(pos, mass, theta=0.5, group_chunk=32,
+    got = np.asarray(bh_accel(pos, mass, theta=0.5,
                               unweighted_leaf_com=True))
     np.testing.assert_array_equal(got, want)  # uniform masses: identical
 
