@@ -126,6 +126,19 @@ class World:
             self.state = self._step(self.state)
         self.updates += n_steps
 
+    # -- failure detection ------------------------------------------------------
+    def assert_finite(self) -> None:
+        """Divergence guard (SURVEY.md §5: the reference's only fault masking
+        is the per-pair is_normal skip). Raises on non-finite state. Must be
+        called from the thread that owns the state (donation safety)."""
+        import numpy as np
+        pos = np.asarray(self.state.pos[:self.state.n_real])
+        if not np.isfinite(pos).all():
+            bad = int((~np.isfinite(pos)).any(axis=1).sum())
+            raise FloatingPointError(
+                f"simulation diverged: {bad} particles non-finite at "
+                f"step {self.updates}")
+
     # -- profile path ---------------------------------------------------------
     def step_timed(self, counting) -> None:
         """One step as separate synced dispatches, accumulating Counting.
@@ -136,11 +149,36 @@ class World:
         """
         from nbody_simulation_tpu.utils.telemetry import PhaseTimer
 
-        with PhaseTimer(counting, "sum_gravity"):
-            accel = self._accel(self.state.pos, self.state.mass)
-            jax.block_until_ready(accel)
-            _ = float(accel[0, 0])  # host sync (axon: block_until_ready is lazy)
-        with PhaseTimer(counting, "post_calculations"):
-            self.state = euler_step(self.state, accel, self.config.dt)
-            _ = float(self.state.pos[0, 0])
+        if self.config.force_path == "bh":
+            from nbody_simulation_tpu.ops.morton import morton_order
+            from nbody_simulation_tpu.ops.traversal import bh_accel_sorted
+            from nbody_simulation_tpu.ops.tree import summarize_sorted
+
+            cfg = self.config
+            st = self.state
+            with PhaseTimer(counting, "build_bvh"):
+                order = morton_order(st.pos, st.mass, cfg.world_size)
+                spos, svel, smass = st.pos[order], st.vel[order], st.mass[order]
+                tree = summarize_sorted(
+                    spos, smass, leaf_size=cfg.leaf_size,
+                    unweighted_leaf_com=cfg.unweighted_leaf_com)
+                _ = float(tree.levels[0].com[0, 0])  # host sync
+            with PhaseTimer(counting, "sum_gravity"):
+                accel = bh_accel_sorted(tree, theta=cfg.theta,
+                                        softening2=cfg.softening2,
+                                        frontier_cap=cfg.frontier_cap,
+                                        leaf_cap=cfg.leaf_cap)[:st.n]
+                _ = float(accel[0, 0])
+            with PhaseTimer(counting, "post_calculations"):
+                self.state = euler_step(
+                    st.replace(pos=spos, vel=svel, mass=smass), accel, cfg.dt)
+                _ = float(self.state.pos[0, 0])
+        else:
+            with PhaseTimer(counting, "sum_gravity"):
+                accel = self._accel(self.state.pos, self.state.mass)
+                jax.block_until_ready(accel)
+                _ = float(accel[0, 0])  # host sync (axon: block_until_ready is lazy)
+            with PhaseTimer(counting, "post_calculations"):
+                self.state = euler_step(self.state, accel, self.config.dt)
+                _ = float(self.state.pos[0, 0])
         self.updates += 1

@@ -76,9 +76,11 @@ class Engine:
     """Physics thread + lossy snapshot queue around a World."""
 
     def __init__(self, world: World, queue_depth: int = 2,
-                 steps_per_snapshot: int = 1, include_particles: bool = False):
+                 steps_per_snapshot: int = 1, include_particles: bool = False,
+                 nan_check_every: int = 0):
         self.world = world
         self.include_particles = include_particles
+        self.nan_check_every = nan_check_every
         cfg: SimConfig = world.config
         slot = _HDR.size + cfg.render_size * cfg.render_size * 4
         if include_particles:
@@ -98,6 +100,9 @@ class Engine:
                 if max_steps is not None and self.world.updates >= max_steps:
                     break
                 self.world.run(self.steps_per_snapshot)
+                if (self.nan_check_every
+                        and self.world.updates % self.nan_check_every == 0):
+                    self.world.assert_finite()  # raises → surfaced by stop()
                 if not self.queue.is_full():
                     st = self.world.state
                     frame = render_frame(st.pos, st.vel, st.mass,

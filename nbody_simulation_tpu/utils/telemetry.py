@@ -51,6 +51,34 @@ class PhaseTimer:
         return False
 
 
+class trace:
+    """jax.profiler trace hook: ``with trace("/tmp/tb"): world.run(10)``.
+
+    Produces a TensorBoard-readable device trace (SURVEY.md §5: the TPU
+    upgrade of the reference's wall-clock Instant counters). No-op if the
+    profiler is unavailable on the backend.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        import jax
+        try:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception:
+            self._active = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+        return False
+
+
 class RateMeter:
     """Once-per-second fps/ups printer (src/main.rs:148-156 semantics)."""
 
