@@ -29,13 +29,16 @@ from __future__ import annotations
 
 import struct
 import threading
+import time
 from dataclasses import dataclass
 
 import numpy as np
 
 from nbody_simulation_tpu.config import SimConfig
 from nbody_simulation_tpu.models.world import World
-from nbody_simulation_tpu.ops.raster import render_frame
+from nbody_simulation_tpu.ops.raster import (render_frame,
+                                              render_frame_sparse,
+                                              sparse_to_frame)
 from nbody_simulation_tpu.runtime.queue import SnapshotQueue
 from nbody_simulation_tpu.utils.telemetry import Counting
 
@@ -77,10 +80,17 @@ class Engine:
 
     def __init__(self, world: World, queue_depth: int = 2,
                  steps_per_snapshot: int = 1, include_particles: bool = False,
-                 nan_check_every: int = 0):
+                 nan_check_every: int = 0, snapshot_interval: float = 0.25):
+        """``snapshot_interval``: minimum seconds between rendered snapshots.
+        The reference gets ups≫fps for free (render on its own thread); here
+        the frame readback shares the producer thread (see _render_snapshot),
+        so the interval bounds how much of the step budget rendering can
+        take. 0 = render whenever the queue has room, exactly flume-style."""
         self.world = world
         self.include_particles = include_particles
         self.nan_check_every = nan_check_every
+        self.snapshot_interval = snapshot_interval
+        self._last_snap_t = 0.0
         cfg: SimConfig = world.config
         slot = _HDR.size + cfg.render_size * cfg.render_size * 4
         if include_particles:
@@ -93,8 +103,36 @@ class Engine:
         self._error: BaseException | None = None
 
     # -- producer -------------------------------------------------------------
-    def _physics_loop(self, max_steps: int | None) -> None:
+    def _render_snapshot(self) -> bytes:
+        """Render on device, read back, pack. Runs on the producer thread —
+        the axon tunnel serializes concurrent host transfers with dispatch
+        (a second fetching thread measured ~60x slower end to end), so the
+        fetch is inline; the sparse encoding keeps it proportional to lit
+        pixels instead of the full framebuffer (ops/raster.py)."""
         cfg = self.world.config
+        st = self.world.state
+        npix = cfg.render_size * cfg.render_size
+        cap = min(-(-st.n_real // 128) * 128, npix)
+        if cap * 8 < npix * 4:
+            idx, vals = render_frame_sparse(
+                st.pos, st.vel, st.mass, cap=cap, world_size=cfg.world_size,
+                render_size=cfg.render_size, heavy_weight=cfg.heavy_weight)
+            if self.include_particles:
+                pos = np.asarray(st.pos[:st.n_real])
+            else:
+                pos = None
+            frame = sparse_to_frame(np.asarray(idx), np.asarray(vals),
+                                    cfg.render_size)
+        else:
+            frame = np.asarray(render_frame(
+                st.pos, st.vel, st.mass, world_size=cfg.world_size,
+                render_size=cfg.render_size, heavy_weight=cfg.heavy_weight))
+            pos = (np.asarray(st.pos[:st.n_real])
+                   if self.include_particles else None)
+        return Snapshot(self.world.updates, self.counting.copy(),
+                        frame, pos).pack()
+
+    def _physics_loop(self, max_steps: int | None) -> None:
         try:
             while not self._stop.is_set():
                 if max_steps is not None and self.world.updates >= max_steps:
@@ -103,20 +141,11 @@ class Engine:
                 if (self.nan_check_every
                         and self.world.updates % self.nan_check_every == 0):
                     self.world.assert_finite()  # raises → surfaced by stop()
-                if not self.queue.is_full():
-                    st = self.world.state
-                    frame = render_frame(st.pos, st.vel, st.mass,
-                                         world_size=cfg.world_size,
-                                         render_size=cfg.render_size,
-                                         heavy_weight=cfg.heavy_weight)
-                    pos = None
-                    if self.include_particles:
-                        # Safe here: the producer thread owns the state
-                        # between steps; no donation is in flight.
-                        pos = np.asarray(st.pos[:st.n_real])
-                    snap = Snapshot(self.world.updates, self.counting.copy(),
-                                    np.asarray(frame), pos)
-                    self.queue.try_push(snap.pack())
+                now = time.monotonic()
+                if (not self.queue.is_full()
+                        and now - self._last_snap_t >= self.snapshot_interval):
+                    self.queue.try_push(self._render_snapshot())
+                    self._last_snap_t = now
         except BaseException as e:  # surfaced via .error / stop()
             self._error = e
         finally:

@@ -59,6 +59,21 @@ def test_nan_positions_skipped():
     check(pos, vel, mass)
 
 
+def test_sparse_frame_matches_dense(rng):
+    from nbody_simulation_tpu.ops.raster import (render_frame_sparse,
+                                                 sparse_to_frame)
+    n = 3000
+    pos = rng.uniform(-100, 100_500, (n, 2)).astype(np.float32)
+    vel = rng.normal(0, 10, (n, 2)).astype(np.float32)
+    mass = rng.integers(1, 30, n).astype(np.float32)
+    dense = np.asarray(render_frame(jnp.asarray(pos), jnp.asarray(vel),
+                                    jnp.asarray(mass)))
+    idx, vals = render_frame_sparse(jnp.asarray(pos), jnp.asarray(vel),
+                                    jnp.asarray(mass), cap=3072)
+    got = sparse_to_frame(idx, vals)
+    np.testing.assert_array_equal(got, dense)
+
+
 def test_galaxy_slice_pixel_exact():
     st = uniform_disc(20_000, seed=5)
     pos = np.asarray(st.pos)
