@@ -74,6 +74,12 @@ class SimConfig:
     frontier_cap: int = 16
     leaf_cap: int = 8
 
+    # Traversal fan-out: 2 walks the binary BVH level by level; 4 walks two
+    # levels at once (the 4-ary subdivision of the reference's dead QuadTree,
+    # quad_tree.rs / SURVEY §2.7) — same candidate work, half the planning
+    # iterations, equal-or-finer approximation.
+    tree_arity: int = 2
+
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).
     heavy_weight: float = 10.0

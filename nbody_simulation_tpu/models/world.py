@@ -75,31 +75,35 @@ class World:
 
         n = self.state.n
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def _step(st: ParticleState, order) -> ParticleState:
-            spos = st.pos[order]
-            svel = st.vel[order]
-            smass = st.mass[order]
+        def _body(spos, svel, smass, st):
             tree = summarize_sorted(
                 spos, smass, leaf_size=config.leaf_size,
                 unweighted_leaf_com=config.unweighted_leaf_com)
             acc = bh_accel_sorted(tree, theta=config.theta,
                                   softening2=config.softening2,
                                   frontier_cap=config.frontier_cap,
-                                  leaf_cap=config.leaf_cap)[:n]
+                                  leaf_cap=config.leaf_cap,
+                                  arity=config.tree_arity)[:n]
             vel = svel + acc * jnp.float32(dt)
             pos = spos + vel * jnp.float32(dt)
             return st.replace(pos=pos, vel=vel, mass=smass)
 
-        identity = jnp.arange(n, dtype=jnp.int32)
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _step_resort(st: ParticleState, order) -> ParticleState:
+            return _body(st.pos[order], st.vel[order], st.mass[order], st)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _step_sorted(st: ParticleState) -> ParticleState:
+            # Between resorts the state is already in (stale) Morton order —
+            # skip the 3-array permute gather entirely.
+            return _body(st.pos, st.vel, st.mass, st)
+
         ws = config.world_size
 
         def step_bh(st: ParticleState) -> ParticleState:
             if self.updates % max(config.resort_every, 1) == 0:
-                order = morton_order(st.pos, st.mass, ws)
-            else:
-                order = identity
-            return _step(st, order)
+                return _step_resort(st, morton_order(st.pos, st.mass, ws))
+            return _step_sorted(st)
 
         self._step = step_bh
 

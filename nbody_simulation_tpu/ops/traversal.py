@@ -95,7 +95,7 @@ def _compact(flags: jax.Array, values: jax.Array, cap: int):
 
 
 def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
-                    leaf_cap: int):
+                    leaf_cap: int, arity: int = 2):
     """BFS planning pass → per-group source lists (src_x, src_y, src_m),
     each (G, C). Masked (zero-mass) entries contribute zero force.
 
@@ -103,7 +103,15 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
     frontier: levels above k0 can never produce a finer answer than their
     children, so skipping them only refines the approximation (and saves
     k0 planning iterations — the gathers here are the BH wall-clock cost).
+
+    ``arity=4`` walks TWO binary levels at a time — node k's candidates are
+    its four grandchildren 4k..4k+3 — which is the 4-ary spatial subdivision
+    of the reference's (dead) QuadTree (quad_tree.rs:139-227, SURVEY §2.7)
+    expressed over the same flat tree: half the planning iterations for the
+    same total candidate count, and a strictly finer approximation (skipped
+    intermediate nodes could only have been coarser).
     """
+    assert arity in (2, 4), arity
     depth = tree.depth
     n_leaves, S, _ = tree.leaf_pos.shape
     F = frontier_cap
@@ -126,10 +134,14 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
     leaf_ids = jnp.zeros((n_leaves, 1), jnp.int32)
     leaf_valid = jnp.ones((n_leaves, 1), dtype=bool)
 
-    for lvl in range(k0, depth):
-        child_lv = tree.levels[lvl + 1]
-        cand = jnp.concatenate([frontier * 2, frontier * 2 + 1], axis=1)
-        cvalid = jnp.concatenate([valid, valid], axis=1)        # (G, 2F)
+    lvl = k0
+    while lvl < depth:
+        step = 2 if (arity == 4 and lvl + 2 <= depth) else 1
+        fan = 1 << step
+        child_lv = tree.levels[lvl + step]
+        cand = jnp.concatenate([frontier * fan + i for i in range(fan)],
+                               axis=1)                          # (G, fan*F)
+        cvalid = jnp.concatenate([valid] * fan, axis=1)
         rec = child_lv.packed[cand]                             # ONE gather
         nmin = rec[..., 0:2]
         nmax = rec[..., 2:4]
@@ -139,7 +151,7 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
         accept = cvalid & _accept_group(gmin, gmax, nmin, nmax, ncom, theta)
         opened = cvalid & ~accept & nonempty
 
-        if lvl + 1 < depth:
+        if lvl + step < depth:
             frontier, valid, overflow = _compact(opened, cand, F)
         else:
             leaf_ids, leaf_valid, overflow = _compact(opened, cand, leaf_cap)
@@ -148,6 +160,7 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
         src_x.append(ncom[..., 0])
         src_y.append(ncom[..., 1])
         src_m.append(jnp.where(use_com, nmassf, 0.0))
+        lvl += step
 
     # Leaf tiles: gather (G, L, S) particle data; invalid slots masked.
     lp = tree.leaf_pos[leaf_ids]                        # (G, L, S, 2)
@@ -222,10 +235,11 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
 
 @functools.partial(jax.jit,
                    static_argnames=("theta", "softening2", "frontier_cap",
-                                    "leaf_cap", "interpret"))
+                                    "leaf_cap", "interpret", "arity"))
 def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
                     softening2: float = 1e-3, frontier_cap: int = 32,
-                    leaf_cap: int = 16, interpret: bool = False) -> jax.Array:
+                    leaf_cap: int = 16, interpret: bool = False,
+                    arity: int = 2) -> jax.Array:
     """Accelerations for all (sorted, padded) particles in the tree.
 
     Returns f32[n_leaves*leaf_size, 2] in sorted order.
@@ -233,7 +247,8 @@ def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
     if jax.default_backend() == "cpu":
         interpret = True
     n_leaves, S, _ = tree.leaf_pos.shape
-    src_x, src_y, src_m = bh_plan_sources(tree, theta, frontier_cap, leaf_cap)
+    src_x, src_y, src_m = bh_plan_sources(tree, theta, frontier_cap,
+                                          leaf_cap, arity=arity)
     acc = _grouped_force(tree.leaf_pos, src_x, src_y, src_m,
                          softening2=softening2, rcp="newton",
                          interpret=interpret)
@@ -243,7 +258,7 @@ def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
 def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
              softening2: float = 1e-3, leaf_size: int = 64,
              world_size: float = 100_000.0, unweighted_leaf_com: bool = True,
-             frontier_cap: int = 32, leaf_cap: int = 16,
+             frontier_cap: int = 32, leaf_cap: int = 16, arity: int = 2,
              group_chunk: int | None = None) -> jax.Array:
     """Full Barnes-Hut acceleration: sort + build + plan + sweep + unsort.
 
@@ -256,7 +271,8 @@ def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
                              world_size=world_size,
                              unweighted_leaf_com=unweighted_leaf_com)
     acc_sorted = bh_accel_sorted(tree, theta=theta, softening2=softening2,
-                                 frontier_cap=frontier_cap, leaf_cap=leaf_cap)
+                                 frontier_cap=frontier_cap, leaf_cap=leaf_cap,
+                                 arity=arity)
     return jnp.zeros((n, 2), jnp.float32).at[order].set(acc_sorted[:n])
 
 
@@ -266,4 +282,5 @@ def bh_accel_fn(config):
         bh_accel, theta=config.theta, softening2=config.softening2,
         leaf_size=config.leaf_size, world_size=config.world_size,
         unweighted_leaf_com=config.unweighted_leaf_com,
-        frontier_cap=config.frontier_cap, leaf_cap=config.leaf_cap)
+        frontier_cap=config.frontier_cap, leaf_cap=config.leaf_cap,
+        arity=config.tree_arity)
