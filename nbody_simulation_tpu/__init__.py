@@ -15,6 +15,10 @@ KristinnVikarJ/nbody-simulation (a Rust Barnes-Hut simulator; see SURVEY.md):
 - checkpointing, recording, PNG IO (``utils``)
 """
 
+from nbody_simulation_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from nbody_simulation_tpu.config import SimConfig
 from nbody_simulation_tpu.state import ParticleState
 

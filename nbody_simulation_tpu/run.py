@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weighted-leaf-com", action="store_true",
                    help="fix the reference's unweighted-leaf-COM quirk")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="serve a live browser viewer on this port "
+                        "(the headless stand-in for the reference's window)")
+    p.add_argument("--snapshot-interval", type=float, default=0.25,
+                   help="min seconds between rendered snapshots (0 = every "
+                        "step with queue room, flume-style)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this uses jax.config, which wins)")
@@ -91,7 +97,23 @@ def main(argv=None) -> int:
 
     world = World(state, cfg)
     world.updates = start_step
-    engine = Engine(world, include_particles=bool(args.record))
+    engine = Engine(world, include_particles=bool(args.record),
+                    snapshot_interval=args.snapshot_interval)
+
+    if args.serve:
+        from nbody_simulation_tpu.viz import ViewerServer
+        viewer = ViewerServer(engine, port=args.serve)
+        viewer.start()
+        emit(f"viewer: http://127.0.0.1:{viewer.port}/")
+        engine.start(max_steps=start_step + args.steps if args.steps else None)
+        try:
+            engine.join()
+        except KeyboardInterrupt:
+            pass
+        engine.stop()
+        viewer.stop()
+        emit(f"done: {world.updates - start_step} steps")
+        return 0
     recorder = Recorder(args.record) if args.record else None
     meter = RateMeter(emit=emit)
 
