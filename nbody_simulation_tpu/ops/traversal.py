@@ -45,7 +45,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nbody_simulation_tpu.ops.allpairs import _allpairs_kernel
-from nbody_simulation_tpu.ops.force import pair_accel
 from nbody_simulation_tpu.ops.tree import FlatTree, build_tree
 
 

@@ -14,7 +14,6 @@ the collective-permute concurrently with the pallas_call.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

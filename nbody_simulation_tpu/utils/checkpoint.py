@@ -8,7 +8,6 @@ portable, and exact (fp32 bit patterns round-trip).
 
 from __future__ import annotations
 
-import io
 import os
 from pathlib import Path
 

@@ -12,7 +12,6 @@ Falls back to zlib when the zstandard module is unavailable.
 
 from __future__ import annotations
 
-import io
 import struct
 from pathlib import Path
 

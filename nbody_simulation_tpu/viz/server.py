@@ -20,7 +20,6 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
 
 from nbody_simulation_tpu.runtime.engine import Engine, Snapshot
 from nbody_simulation_tpu.utils.pngio import save_png
