@@ -1,0 +1,131 @@
+"""Benchmark suite — the five BASELINE.json configs.
+
+Run: ``python benchmarks/suite.py [--configs 1,2,3,4]``
+Prints one JSON line per config. bench.py (the driver headline) is config 4.
+
+1. N=4,096 random disc, direct O(N²), fixed-dt integrator → steps/sec
+2. N=65,536 Plummer-like cluster, BH θ=0.5 → force error + energy drift
+   vs direct sum over 50 steps
+3. N=262,144, BVH force path, per-step rebuild (resort_every=1) → steps/sec
+4. N=1,048,576 blocked all-pairs Pallas kernel → pairwise interactions/sec
+5. N=16,777,216 sharded ring all-pairs on v5e-16 — requires 16 chips; on a
+   single-chip/virtual mesh this config validates compile+execute on tiny
+   shapes (the driver's dryrun covers the same path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def sync(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x if not hasattr(x, "pos") else x.pos))
+
+
+def emit(config, metric, value, unit, **extra):
+    print(json.dumps({"config": config, "metric": metric,
+                      "value": value, "unit": unit, **extra}), flush=True)
+
+
+def config1():
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models import World, uniform_disc
+    w = World(uniform_disc(4096, seed=0), SimConfig(force_path="pallas"))
+    w.run(5); sync(w.state)
+    t0 = time.perf_counter(); w.run(100); sync(w.state)
+    dt = (time.perf_counter() - t0) / 100
+    emit(1, "direct N=4096 steps/sec", 1 / dt, "steps/s")
+
+
+def config2():
+    import jax.numpy as jnp
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models import World, plummer
+    from nbody_simulation_tpu.ops.force import direct_accel
+    from nbody_simulation_tpu.ops.traversal import bh_accel
+
+    st = plummer(65_536, seed=0)
+    # Force error at t=0 vs direct sum (physics-quality COMs).
+    want = np.asarray(direct_accel(st.pos, st.mass, row_chunk=4096))
+    got = np.asarray(bh_accel(st.pos, st.mass, theta=0.5,
+                              unweighted_leaf_com=False,
+                              frontier_cap=64, leaf_cap=32))
+    rel = (np.linalg.norm(got - want, axis=1)
+           / np.maximum(np.linalg.norm(want, axis=1), 1e-12))
+    emit(2, "BH theta=0.5 force rel err (median)", float(np.median(rel)), "")
+
+    # Kinetic-energy drift of BH vs direct over 50 steps.
+    kes = {}
+    for path, kw in [("direct", {}),
+                     ("bh", dict(theta=0.5, unweighted_leaf_com=False,
+                                 frontier_cap=64, leaf_cap=32))]:
+        w = World(plummer(65_536, seed=0),
+                  SimConfig(force_path=path, **kw))
+        w.run(50); sync(w.state)
+        vel = np.asarray(w.state.vel[:w.state.n_real])
+        mass = np.asarray(w.state.mass[:w.state.n_real])
+        kes[path] = float((0.5 * mass * (vel ** 2).sum(-1)).sum())
+    drift = abs(kes["bh"] - kes["direct"]) / abs(kes["direct"])
+    emit(2, "BH vs direct KE drift after 50 steps", drift, "relative")
+
+
+def config3():
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models import World, uniform_disc
+    w = World(uniform_disc(262_144, seed=0),
+              SimConfig(force_path="bh", resort_every=1))
+    w.run(5); sync(w.state)
+    t0 = time.perf_counter(); w.run(50); sync(w.state)
+    dt = (time.perf_counter() - t0) / 50
+    emit(3, "BH N=262144 per-step rebuild steps/sec", 1 / dt, "steps/s")
+
+
+def config4():
+    import subprocess, sys, pathlib
+    r = subprocess.run([sys.executable,
+                        str(pathlib.Path(__file__).parent.parent / "bench.py")],
+                       capture_output=True, text=True, timeout=3600)
+    line = r.stdout.strip().splitlines()[-1]
+    print(line, flush=True)
+
+
+def config5():
+    import jax
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models import uniform_disc
+    from nbody_simulation_tpu.parallel import (make_1d_mesh, shard_state,
+                                               make_sharded_step)
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        emit(5, "ring all-pairs (needs multi-chip; see dryrun_multichip)",
+             0, "skipped", devices=n_dev)
+        return
+    mesh = make_1d_mesh(n_dev)
+    st = shard_state(uniform_disc(n_dev * 2048, seed=0), mesh)
+    step = make_sharded_step(mesh, SimConfig(), tile_i=512, tile_j=2048)
+    st = step(st); sync(st)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        st = step(st)
+    sync(st)
+    dt = (time.perf_counter() - t0) / 5
+    emit(5, f"ring all-pairs N={n_dev*2048} on {n_dev} devices", 1 / dt,
+         "steps/s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for c in [int(x) for x in args.configs.split(",")]:
+        fns[c]()
+
+
+if __name__ == "__main__":
+    main()
