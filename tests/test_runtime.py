@@ -105,7 +105,7 @@ def test_engine_end_to_end():
 def test_engine_drops_when_consumer_slow():
     cfg = SimConfig(force_path="direct", render_size=50)
     world = World(uniform_disc(256, seed=1), cfg)
-    eng = Engine(world)
+    eng = Engine(world, snapshot_interval=0.0)  # flume-style: every step
     eng.start(max_steps=200)
     eng.join(timeout=60)  # no consumer at all while the producer runs
     # 200 steps but queue depth 2 and no consumer → only 2 snapshots kept,
