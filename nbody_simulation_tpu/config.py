@@ -28,8 +28,11 @@ class SimConfig:
     world_size: float = 100_000.0
     render_size: int = 1250
 
-    # Integration (src/main.rs:34).
+    # Integration (src/main.rs:34). "euler" is the reference's semi-implicit
+    # Euler; "leapfrog" (kick-drift-kick, two force evals/step) is an
+    # optional higher-order scheme the reference lacks.
     dt: float = 0.1
+    integrator: str = "euler"
 
     # Barnes-Hut quality knob (src/main.rs:35). Acceptance test is
     # max(w,h)^2 < d2 * theta^2 — reference convention (s/d < θ accepts).

@@ -98,6 +98,32 @@ def galaxy(seed: int = 0, world_size: float = 100_000.0,
         np.concatenate(pos), np.concatenate(vel), np.concatenate(mass))
 
 
+def collision(seed: int = 0, n_per_galaxy: int = 50_000) -> ParticleState:
+    """Two galaxy discs on a collision course — a scenario family the
+    reference doesn't ship but its engine invites (heavy core + tangential
+    disc, twice, approaching)."""
+    rng = np.random.default_rng(seed)
+    pos, vel, mass = [], [], []
+    for center, v0, w in [((30_000.0, 30_000.0), (60.0, 45.0), 5_000_000.0),
+                          ((70_000.0, 70_000.0), (-60.0, -45.0), 5_000_000.0)]:
+        c = np.array(center, np.float32)
+        pos.append(c[None])
+        vel.append(np.array([v0], np.float32))
+        mass.append(np.array([w], np.float32))
+        theta = rng.random(n_per_galaxy, dtype=np.float32) * np.float32(TAU)
+        r = (np.sqrt(rng.random(n_per_galaxy, dtype=np.float32))
+             * np.float32(12_000.0) + np.float32(500.0))
+        p = np.stack([np.cos(theta) * r, np.sin(theta) * r], -1) + c
+        d2 = ((p - c) ** 2).sum(-1).astype(np.float32)
+        scale = np.sqrt(np.sqrt(np.float32(w)) / d2).astype(np.float32)
+        v = _rotate_right(p - c) * scale[:, None] + np.asarray(v0, np.float32)
+        pos.append(p.astype(np.float32))
+        vel.append(v.astype(np.float32))
+        mass.append(np.ones(n_per_galaxy, np.float32))
+    return ParticleState.create(
+        np.concatenate(pos), np.concatenate(vel), np.concatenate(mass))
+
+
 def uniform_disc(n: int, seed: int = 0, radius: float = 25_000.0,
                  center=(50_000.0, 50_000.0)) -> ParticleState:
     """N unit-mass bodies uniform on a disc with small random velocities

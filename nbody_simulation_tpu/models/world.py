@@ -57,9 +57,16 @@ class World:
         else:
             accel = make_accel_fn(config)
 
-            @functools.partial(jax.jit, donate_argnums=0)
-            def _step(st: ParticleState) -> ParticleState:
-                return euler_step(st, accel(st.pos, st.mass), dt)
+            if config.integrator == "leapfrog":
+                from nbody_simulation_tpu.ops.integrate import leapfrog_step
+
+                @functools.partial(jax.jit, donate_argnums=0)
+                def _step(st: ParticleState) -> ParticleState:
+                    return leapfrog_step(st, accel, dt)
+            else:
+                @functools.partial(jax.jit, donate_argnums=0)
+                def _step(st: ParticleState) -> ParticleState:
+                    return euler_step(st, accel(st.pos, st.mass), dt)
 
             self._step = _step
             self._accel = jax.jit(accel)
@@ -75,17 +82,26 @@ class World:
 
         n = self.state.n
 
-        def _body(spos, svel, smass, st):
+        def _acc_of(pos, mass):
             tree = summarize_sorted(
-                spos, smass, leaf_size=config.leaf_size,
+                pos, mass, leaf_size=config.leaf_size,
                 unweighted_leaf_com=config.unweighted_leaf_com)
-            acc = bh_accel_sorted(tree, theta=config.theta,
-                                  softening2=config.softening2,
-                                  frontier_cap=config.frontier_cap,
-                                  leaf_cap=config.leaf_cap,
-                                  arity=config.tree_arity)[:n]
-            vel = svel + acc * jnp.float32(dt)
-            pos = spos + vel * jnp.float32(dt)
+            return bh_accel_sorted(tree, theta=config.theta,
+                                   softening2=config.softening2,
+                                   frontier_cap=config.frontier_cap,
+                                   leaf_cap=config.leaf_cap,
+                                   arity=config.tree_arity)[:n]
+
+        fdt = jnp.float32(dt)
+
+        def _body(spos, svel, smass, st):
+            if config.integrator == "leapfrog":
+                v_half = svel + _acc_of(spos, smass) * (fdt * jnp.float32(0.5))
+                pos = spos + v_half * fdt
+                vel = v_half + _acc_of(pos, smass) * (fdt * jnp.float32(0.5))
+            else:
+                vel = svel + _acc_of(spos, smass) * fdt
+                pos = spos + vel * fdt
             return st.replace(pos=pos, vel=vel, mass=smass)
 
         @functools.partial(jax.jit, donate_argnums=0)

@@ -26,3 +26,18 @@ def euler_step(state: ParticleState, accel: jax.Array, dt: float) -> ParticleSta
     vel = state.vel + accel * dt
     pos = state.pos + vel * dt
     return state.replace(pos=pos, vel=vel)
+
+
+def leapfrog_step(state: ParticleState, accel_fn, dt: float) -> ParticleState:
+    """Kick-drift-kick leapfrog (velocity Verlet) — an optional
+    higher-order integrator the reference lacks (its only scheme is the
+    semi-implicit Euler above). ``accel_fn`` is (pos, mass) -> accel and is
+    evaluated twice per step; time-reversible and lower energy drift for
+    smooth force fields.
+    """
+    dt = jnp.float32(dt)
+    half = jnp.float32(0.5) * dt
+    v_half = state.vel + accel_fn(state.pos, state.mass) * half
+    pos = state.pos + v_half * dt
+    vel = v_half + accel_fn(pos, state.mass) * half
+    return state.replace(pos=pos, vel=vel)

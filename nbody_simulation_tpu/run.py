@@ -22,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
         prog="nbody_simulation_tpu.run",
         description="TPU-native Barnes-Hut N-body simulator")
     p.add_argument("--scenario", default="galaxy",
-                   choices=["galaxy", "uniform", "plummer"])
+                   choices=["galaxy", "uniform", "plummer", "collision"])
     p.add_argument("--n", type=int, default=100_000,
                    help="particle count for uniform/plummer scenarios")
     p.add_argument("--seed", type=int, default=0)
@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--theta", type=float, default=50.0,
                    help="reference convention: accept when s/d < theta")
     p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--integrator", default="euler",
+                   choices=["euler", "leapfrog"])
     p.add_argument("--leaf-size", type=int, default=64)
     p.add_argument("--world-size", type=float, default=100_000.0)
     p.add_argument("--render-size", type=int, default=1250)
@@ -78,7 +80,7 @@ def main(argv=None) -> int:
 
     cfg = SimConfig(force_path=args.force_path, theta=args.theta, dt=args.dt,
                     leaf_size=args.leaf_size, world_size=args.world_size,
-                    render_size=args.render_size,
+                    render_size=args.render_size, integrator=args.integrator,
                     unweighted_leaf_com=not args.weighted_leaf_com)
 
     start_step = 0
@@ -88,6 +90,9 @@ def main(argv=None) -> int:
         state = galaxy(seed=args.seed, world_size=args.world_size)
     elif args.scenario == "uniform":
         state = uniform_disc(args.n, seed=args.seed)
+    elif args.scenario == "collision":
+        from nbody_simulation_tpu.models import collision
+        state = collision(seed=args.seed)
     else:
         state = plummer(args.n, seed=args.seed)
 

@@ -69,3 +69,12 @@ def test_uniform_disc_and_plummer():
     # Plummer should be strongly centrally concentrated.
     d = np.linalg.norm(np.asarray(pl.pos) - [50_000.0, 50_000.0], axis=1)
     assert np.median(d) < 10_000.0
+
+
+def test_collision_scenario():
+    from nbody_simulation_tpu.models.scenarios import collision
+    st = collision(seed=0, n_per_galaxy=1000)
+    assert st.n == 2002
+    mass = np.asarray(st.mass)
+    assert (mass == 5_000_000.0).sum() == 2
+    assert np.isfinite(np.asarray(st.vel)).all()

@@ -75,3 +75,22 @@ def test_padding_preserved():
     # Padding stays inert: zero mass, out-of-world position.
     mass = np.asarray(w.state.mass)
     assert (mass[200:] == 0.0).all()
+
+
+def test_leapfrog_integrator():
+    cfg = SimConfig(force_path="direct", integrator="leapfrog")
+    w = World(uniform_disc(192, seed=2), cfg)
+    w.run(5)
+    assert np.isfinite(np.asarray(w.state.pos)).all()
+    # Different scheme → different velocities than Euler (positions move
+    # too little in 5 steps for a position-level allclose to separate).
+    we = small_world("direct")
+    we.run(5)
+    assert not np.array_equal(np.asarray(w.state.vel), np.asarray(we.state.vel))
+
+
+def test_leapfrog_bh_runs():
+    cfg = SimConfig(force_path="bh", integrator="leapfrog")
+    w = World(uniform_disc(256, seed=2), cfg)
+    w.run(3)
+    assert np.isfinite(np.asarray(w.state.pos)).all()
