@@ -54,7 +54,7 @@ def config2():
     want = np.asarray(direct_accel(st.pos, st.mass, row_chunk=4096))
     got = np.asarray(bh_accel(st.pos, st.mass, theta=0.5,
                               unweighted_leaf_com=False,
-                              frontier_cap=64, leaf_cap=32))
+                              frontier_cap=128, leaf_cap=128))
     rel = (np.linalg.norm(got - want, axis=1)
            / np.maximum(np.linalg.norm(want, axis=1), 1e-12))
     emit(2, "BH theta=0.5 force rel err (median)", float(np.median(rel)), "")
@@ -62,8 +62,7 @@ def config2():
     # Kinetic-energy drift of BH vs direct over 50 steps.
     kes = {}
     for path, kw in [("direct", {}),
-                     ("bh", dict(theta=0.5, unweighted_leaf_com=False,
-                                 frontier_cap=64, leaf_cap=32))]:
+                     ("bh", dict(theta=0.5, unweighted_leaf_com=False))]:
         w = World(plummer(65_536, seed=0),
                   SimConfig(force_path=path, **kw))
         w.run(50); sync(w.state)

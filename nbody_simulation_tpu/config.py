@@ -72,10 +72,20 @@ class SimConfig:
     # slots per group. Overflow falls back to COM approximation (never drops
     # force). θ=50 needs little; θ≈0.5 wants leaf_cap ≳ the near-field leaf
     # count (raise these for high-quality runs).
-    # (16, 8) measured quality-equal to (128, 64) at θ=50 on the galaxy
-    # workload and ~3x faster; raise for small-θ physics-quality runs.
-    frontier_cap: int = 16
-    leaf_cap: int = 8
+    # None = resolved from θ: (16, 8) for the reference's aggressive θ≥2
+    # regime (measured quality-equal to (128, 64) at θ=50 on the galaxy and
+    # ~3x faster), (128, 128) for physics-quality θ<2 where the near field
+    # spans many more nodes (under-capped runs silently degrade to COM
+    # fallback — measured 44% median error at θ=0.5 with the θ=50 caps).
+    frontier_cap: int | None = None
+    leaf_cap: int | None = None
+
+    def resolved_caps(self) -> tuple[int, int]:
+        f = self.frontier_cap if self.frontier_cap is not None else (
+            16 if self.theta >= 2.0 else 128)
+        l = self.leaf_cap if self.leaf_cap is not None else (
+            8 if self.theta >= 2.0 else 128)
+        return f, l
 
     # Traversal fan-out: 2 walks the binary BVH level by level; 4 walks two
     # levels at once (the 4-ary subdivision of the reference's dead QuadTree,

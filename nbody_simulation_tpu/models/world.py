@@ -82,14 +82,15 @@ class World:
 
         n = self.state.n
 
+        fcap, lcap = config.resolved_caps()
+
         def _acc_of(pos, mass):
             tree = summarize_sorted(
                 pos, mass, leaf_size=config.leaf_size,
                 unweighted_leaf_com=config.unweighted_leaf_com)
             return bh_accel_sorted(tree, theta=config.theta,
                                    softening2=config.softening2,
-                                   frontier_cap=config.frontier_cap,
-                                   leaf_cap=config.leaf_cap,
+                                   frontier_cap=fcap, leaf_cap=lcap,
                                    arity=config.tree_arity)[:n]
 
         fdt = jnp.float32(dt)
@@ -186,10 +187,11 @@ class World:
                     unweighted_leaf_com=cfg.unweighted_leaf_com)
                 _ = float(tree.levels[0].com[0, 0])  # host sync
             with PhaseTimer(counting, "sum_gravity"):
+                fcap, lcap = cfg.resolved_caps()
                 accel = bh_accel_sorted(tree, theta=cfg.theta,
                                         softening2=cfg.softening2,
-                                        frontier_cap=cfg.frontier_cap,
-                                        leaf_cap=cfg.leaf_cap)[:st.n]
+                                        frontier_cap=fcap,
+                                        leaf_cap=lcap)[:st.n]
                 _ = float(accel[0, 0])
             with PhaseTimer(counting, "post_calculations"):
                 self.state = euler_step(

@@ -281,5 +281,6 @@ def bh_accel_fn(config):
         bh_accel, theta=config.theta, softening2=config.softening2,
         leaf_size=config.leaf_size, world_size=config.world_size,
         unweighted_leaf_com=config.unweighted_leaf_com,
-        frontier_cap=config.frontier_cap, leaf_cap=config.leaf_cap,
+        frontier_cap=config.resolved_caps()[0],
+        leaf_cap=config.resolved_caps()[1],
         arity=config.tree_arity)

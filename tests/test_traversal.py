@@ -125,3 +125,10 @@ def test_arbitrary_n_and_order_restored():
                                    row_chunk=777))
     assert got.shape == (777, 2)
     assert rel_err(got, want).max() < 1e-4
+
+
+def test_auto_caps_by_theta():
+    from nbody_simulation_tpu.config import SimConfig
+    assert SimConfig(theta=50.0).resolved_caps() == (16, 8)
+    assert SimConfig(theta=0.5).resolved_caps() == (128, 128)
+    assert SimConfig(theta=0.5, frontier_cap=32).resolved_caps()[0] == 32
