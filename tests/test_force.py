@@ -100,3 +100,20 @@ def test_close_pair_matches_oracle_bitwise(rng):
         want = pair_accel_oracle(p1, p2, m)
         ax, ay = pair_accel(jnp.float32(p2[0] - p1[0]), jnp.float32(p2[1] - p1[1]), m)
         np.testing.assert_array_equal(np.array([ax, ay], np.float32), want)
+
+
+def test_direct_accel_is_differentiable(rng):
+    # The functional force path is jax.grad-compatible — a capability the
+    # reference cannot offer. Gradient of total |accel|^2 wrt positions.
+    import jax
+    pos, mass = rand_cloud(rng, 64)
+    pos_j, mass_j = jnp.asarray(pos), jnp.asarray(mass)
+
+    def loss(p):
+        a = direct_accel(p, mass_j, row_chunk=64)
+        return (a ** 2).sum()
+
+    g = jax.grad(loss)(pos_j)
+    assert g.shape == pos_j.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0

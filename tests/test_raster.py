@@ -81,3 +81,18 @@ def test_galaxy_slice_pixel_exact():
     mass = np.asarray(st.mass).copy()
     mass[:5] = 75_000_000.0
     check(pos, vel.astype(np.float32), mass)
+
+
+def test_sparse_cap_covers_all_lit_pixels(rng):
+    # cap >= particle count is exact: one particle lights at most one pixel.
+    from nbody_simulation_tpu.ops.raster import (render_frame_sparse,
+                                                 sparse_to_frame)
+    n = 513  # not a multiple of anything
+    pos = rng.uniform(0, 100_000, (n, 2)).astype(np.float32)
+    vel = rng.normal(0, 5, (n, 2)).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    dense = np.asarray(render_frame(jnp.asarray(pos), jnp.asarray(vel),
+                                    jnp.asarray(mass)))
+    idx, vals = render_frame_sparse(jnp.asarray(pos), jnp.asarray(vel),
+                                    jnp.asarray(mass), cap=640)
+    np.testing.assert_array_equal(sparse_to_frame(idx, vals), dense)
