@@ -93,6 +93,11 @@ class SimConfig:
     # iterations, equal-or-finer approximation.
     tree_arity: int = 2
 
+    # Planning granularity: one planner row covers this many adjacent leaves
+    # (its AABB = their common ancestor). Bigger = cheaper planning, slightly
+    # more exact near-field work; the tree/COM semantics are unchanged.
+    plan_leaves: int = 1
+
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).
     heavy_weight: float = 10.0

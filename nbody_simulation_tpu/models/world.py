@@ -91,7 +91,8 @@ class World:
             return bh_accel_sorted(tree, theta=config.theta,
                                    softening2=config.softening2,
                                    frontier_cap=fcap, leaf_cap=lcap,
-                                   arity=config.tree_arity)[:n]
+                                   arity=config.tree_arity,
+                                   plan_leaves=config.plan_leaves)[:n]
 
         fdt = jnp.float32(dt)
 

@@ -94,7 +94,7 @@ def _compact(flags: jax.Array, values: jax.Array, cap: int):
 
 
 def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
-                    leaf_cap: int, arity: int = 2):
+                    leaf_cap: int, arity: int = 2, plan_leaves: int = 1):
     """BFS planning pass → per-group source lists (src_x, src_y, src_m),
     each (G, C). Masked (zero-mass) entries contribute zero force.
 
@@ -114,9 +114,17 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
     depth = tree.depth
     n_leaves, S, _ = tree.leaf_pos.shape
     F = frontier_cap
-    leaves = tree.levels[depth]
-    gmin = leaves.aabb_min[:, None, :]     # (G,1,2) own-leaf AABB
-    gmax = leaves.aabb_max[:, None, :]
+    # Planning granularity: one planning row covers ``plan_leaves`` adjacent
+    # leaves; its AABB is the common ancestor node at level depth-log2(pl),
+    # so the walk stays conservative while the planner shrinks by pl×. The
+    # tree itself (leaf size, COM semantics) is unchanged.
+    pl_ = plan_leaves
+    while pl_ > 1 and (n_leaves % pl_ or (1 << (depth)) < pl_):
+        pl_ //= 2
+    g_rows = n_leaves // pl_
+    own_level = tree.levels[depth - (pl_.bit_length() - 1)]
+    gmin = own_level.aabb_min[:, None, :]     # (G',1,2) group AABB
+    gmax = own_level.aabb_max[:, None, :]
 
     # Deepest level whose full width fits the frontier.
     k0 = min(max(F.bit_length() - 1, 0), depth - 1) if depth > 0 else 0
@@ -124,14 +132,14 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
     src_x, src_y, src_m = [], [], []
     width = 1 << k0
     frontier = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
-                                (n_leaves, width))
+                                (g_rows, width))
     if width < F:
         frontier = jnp.concatenate(
-            [frontier, jnp.zeros((n_leaves, F - width), jnp.int32)], axis=1)
+            [frontier, jnp.zeros((g_rows, F - width), jnp.int32)], axis=1)
     valid = (jnp.arange(F, dtype=jnp.int32)[None, :] < width)
-    valid = jnp.broadcast_to(valid, (n_leaves, F))
-    leaf_ids = jnp.zeros((n_leaves, 1), jnp.int32)
-    leaf_valid = jnp.ones((n_leaves, 1), dtype=bool)
+    valid = jnp.broadcast_to(valid, (g_rows, F))
+    leaf_ids = jnp.zeros((g_rows, 1), jnp.int32)
+    leaf_valid = jnp.ones((g_rows, 1), dtype=bool)
 
     lvl = k0
     while lvl < depth:
@@ -161,13 +169,13 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
         src_m.append(jnp.where(use_com, nmassf, 0.0))
         lvl += step
 
-    # Leaf tiles: gather (G, L, S) particle data; invalid slots masked.
-    lp = tree.leaf_pos[leaf_ids]                        # (G, L, S, 2)
+    # Leaf tiles: gather (G', L, S) particle data; invalid slots masked.
+    lp = tree.leaf_pos[leaf_ids]                        # (G', L, S, 2)
     lm = tree.leaf_mass[leaf_ids] * leaf_valid[..., None]
     L = leaf_ids.shape[1]
-    src_x.append(lp[..., 0].reshape(n_leaves, L * S))
-    src_y.append(lp[..., 1].reshape(n_leaves, L * S))
-    src_m.append(lm.reshape(n_leaves, L * S))
+    src_x.append(lp[..., 0].reshape(g_rows, L * S))
+    src_y.append(lp[..., 1].reshape(g_rows, L * S))
+    src_m.append(lm.reshape(g_rows, L * S))
 
     return (jnp.concatenate(src_x, axis=1),
             jnp.concatenate(src_y, axis=1),
@@ -234,11 +242,12 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
 
 @functools.partial(jax.jit,
                    static_argnames=("theta", "softening2", "frontier_cap",
-                                    "leaf_cap", "interpret", "arity"))
+                                    "leaf_cap", "interpret", "arity",
+                                    "plan_leaves"))
 def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
                     softening2: float = 1e-3, frontier_cap: int = 32,
                     leaf_cap: int = 16, interpret: bool = False,
-                    arity: int = 2) -> jax.Array:
+                    arity: int = 2, plan_leaves: int = 1) -> jax.Array:
     """Accelerations for all (sorted, padded) particles in the tree.
 
     Returns f32[n_leaves*leaf_size, 2] in sorted order.
@@ -246,9 +255,14 @@ def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
     if jax.default_backend() == "cpu":
         interpret = True
     n_leaves, S, _ = tree.leaf_pos.shape
+    pl_ = max(1, min(plan_leaves, n_leaves))
+    while n_leaves % pl_:
+        pl_ //= 2
     src_x, src_y, src_m = bh_plan_sources(tree, theta, frontier_cap,
-                                          leaf_cap, arity=arity)
-    acc = _grouped_force(tree.leaf_pos, src_x, src_y, src_m,
+                                          leaf_cap, arity=arity,
+                                          plan_leaves=pl_)
+    tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
+    acc = _grouped_force(tgt, src_x, src_y, src_m,
                          softening2=softening2, rcp="newton",
                          interpret=interpret)
     return acc.reshape(n_leaves * S, 2)
@@ -258,6 +272,7 @@ def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
              softening2: float = 1e-3, leaf_size: int = 64,
              world_size: float = 100_000.0, unweighted_leaf_com: bool = True,
              frontier_cap: int = 32, leaf_cap: int = 16, arity: int = 2,
+             plan_leaves: int = 1,
              group_chunk: int | None = None) -> jax.Array:
     """Full Barnes-Hut acceleration: sort + build + plan + sweep + unsort.
 
@@ -271,7 +286,7 @@ def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
                              unweighted_leaf_com=unweighted_leaf_com)
     acc_sorted = bh_accel_sorted(tree, theta=theta, softening2=softening2,
                                  frontier_cap=frontier_cap, leaf_cap=leaf_cap,
-                                 arity=arity)
+                                 arity=arity, plan_leaves=plan_leaves)
     return jnp.zeros((n, 2), jnp.float32).at[order].set(acc_sorted[:n])
 
 
@@ -283,4 +298,4 @@ def bh_accel_fn(config):
         unweighted_leaf_com=config.unweighted_leaf_com,
         frontier_cap=config.resolved_caps()[0],
         leaf_cap=config.resolved_caps()[1],
-        arity=config.tree_arity)
+        arity=config.tree_arity, plan_leaves=config.plan_leaves)

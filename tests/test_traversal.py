@@ -132,3 +132,21 @@ def test_auto_caps_by_theta():
     assert SimConfig(theta=50.0).resolved_caps() == (16, 8)
     assert SimConfig(theta=0.5).resolved_caps() == (128, 128)
     assert SimConfig(theta=0.5, frontier_cap=32).resolved_caps()[0] == 32
+
+
+def test_plan_leaves_preserves_exactness():
+    pos, mass = cloud(2048, heavy=False)
+    want = np.asarray(direct_accel(pos, mass))
+    got = np.asarray(bh_accel(pos, mass, theta=0.0, frontier_cap=64,
+                              leaf_cap=32, plan_leaves=4))
+    assert rel_err(got, want).max() < 1e-4
+
+
+def test_plan_leaves_quality_at_theta_half():
+    pos, mass = cloud(2048)
+    want = np.asarray(direct_accel(pos, mass))
+    got = np.asarray(bh_accel(pos, mass, theta=0.5, frontier_cap=64,
+                              leaf_cap=32, plan_leaves=4,
+                              unweighted_leaf_com=False))
+    e = rel_err(got, want)
+    assert np.percentile(e, 99) < 2e-3, np.percentile(e, 99)
