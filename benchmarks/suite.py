@@ -54,7 +54,7 @@ def config2():
     want = np.asarray(direct_accel(st.pos, st.mass, row_chunk=4096))
     got = np.asarray(bh_accel(st.pos, st.mass, theta=0.5,
                               unweighted_leaf_com=False,
-                              frontier_cap=128, leaf_cap=128))
+                              frontier_cap=128, leaf_cap=256, plan_leaves=4))
     rel = (np.linalg.norm(got - want, axis=1)
            / np.maximum(np.linalg.norm(want, axis=1), 1e-12))
     emit(2, "BH theta=0.5 force rel err (median)", float(np.median(rel)), "")

@@ -76,7 +76,8 @@ class SimConfig:
     # regime (measured quality-equal to (128, 64) at θ=50 on the galaxy and
     # ~3x faster), (128, 128) for physics-quality θ<2 where the near field
     # spans many more nodes (under-capped runs silently degrade to COM
-    # fallback — measured 44% median error at θ=0.5 with the θ=50 caps).
+    # fallback — measured 44% median error at θ=0.5 with the θ=50 caps;
+    # dense Plummer cores at N=65536 still need leaf_cap 256).
     frontier_cap: int | None = None
     leaf_cap: int | None = None
 
@@ -84,7 +85,7 @@ class SimConfig:
         f = self.frontier_cap if self.frontier_cap is not None else (
             16 if self.theta >= 2.0 else 128)
         l = self.leaf_cap if self.leaf_cap is not None else (
-            8 if self.theta >= 2.0 else 128)
+            8 if self.theta >= 2.0 else 256)
         return f, l
 
     # Traversal fan-out: 2 walks the binary BVH level by level; 4 walks two
