@@ -82,10 +82,14 @@ class SimConfig:
     leaf_cap: int | None = None
 
     def resolved_caps(self) -> tuple[int, int]:
+        # Leaf lists are per planning row, so the cap scales with the
+        # super-group size (each row's near field covers its own
+        # plan_leaves leaves plus a neighborhood ring).
+        pl = max(1, self.plan_leaves)
         f = self.frontier_cap if self.frontier_cap is not None else (
             16 if self.theta >= 2.0 else 128)
         l = self.leaf_cap if self.leaf_cap is not None else (
-            8 if self.theta >= 2.0 else 256)
+            max(8, 4 * pl) if self.theta >= 2.0 else max(256, 32 * pl))
         return f, l
 
     # Traversal fan-out: 2 walks the binary BVH level by level; 4 walks two
@@ -97,7 +101,9 @@ class SimConfig:
     # Planning granularity: one planner row covers this many adjacent leaves
     # (its AABB = their common ancestor). Bigger = cheaper planning, slightly
     # more exact near-field work; the tree/COM semantics are unchanged.
-    plan_leaves: int = 1
+    # 8 measured 136 ups on the galaxy (vs 54 at 1) at equal-or-better
+    # force quality.
+    plan_leaves: int = 8
 
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).

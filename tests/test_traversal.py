@@ -129,8 +129,9 @@ def test_arbitrary_n_and_order_restored():
 
 def test_auto_caps_by_theta():
     from nbody_simulation_tpu.config import SimConfig
-    assert SimConfig(theta=50.0).resolved_caps() == (16, 8)
-    assert SimConfig(theta=0.5).resolved_caps() == (128, 256)
+    assert SimConfig(theta=50.0, plan_leaves=1).resolved_caps() == (16, 8)
+    assert SimConfig(theta=50.0, plan_leaves=8).resolved_caps() == (16, 32)
+    assert SimConfig(theta=0.5, plan_leaves=1).resolved_caps() == (128, 256)
     assert SimConfig(theta=0.5, frontier_cap=32).resolved_caps()[0] == 32
 
 
