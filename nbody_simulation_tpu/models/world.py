@@ -126,12 +126,8 @@ class World:
             return _step_sorted(st)
 
         self._step = step_bh
-
-        def accel_fn(pos, mass):
-            from nbody_simulation_tpu.ops.traversal import bh_accel_fn
-            return bh_accel_fn(config)(pos, mass)
-
-        self._accel = accel_fn
+        from nbody_simulation_tpu.ops.traversal import bh_accel_fn
+        self._accel = bh_accel_fn(config)
 
     # -- fused fast path ------------------------------------------------------
     def step(self) -> None:
