@@ -191,12 +191,16 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
     g, s, _ = tgt_pos.shape
     c = src_x.shape[1]
     # Pick a lane-aligned j tile, then pad C to a multiple of it with inert
-    # (zero-mass) sources. Cap the (s, tj) tile area at ~1M f32 elements —
-    # Mosaic keeps ~3 full-tile temporaries live, and 3x4 MB fits the 16 MB
-    # scoped-VMEM budget.
-    tile_j = min(tile_j, max(128, ((1 << 20) // s) // 128 * 128))
-    tj = min(tile_j, -(-c // 128) * 128)
-    target_c = -(-c // tj) * tj
+    # (zero-mass) sources. The (s, tj) tile area is capped at ~1M f32
+    # elements (Mosaic keeps ~3 full-tile temporaries live; 3x4 MB fits the
+    # 16 MB scoped-VMEM budget), and tj is chosen to minimize padding waste.
+    def ceil_to(x, m):
+        return -(-x // m) * m
+
+    tile_cap = min(tile_j, max(128, ((1 << 20) // s) // 128 * 128))
+    n_tiles = max(1, -(-c // tile_cap))
+    tj = ceil_to(-(-c // n_tiles), 128)
+    target_c = n_tiles * tj
     if target_c != c:
         z = jnp.zeros((g, target_c - c), jnp.float32)
         src_x = jnp.concatenate([src_x, z], 1)
