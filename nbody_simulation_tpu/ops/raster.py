@@ -103,12 +103,9 @@ def render_frame_sparse(pos: jax.Array, vel: jax.Array, mass: jax.Array,
 
 
 def sparse_to_frame(idx, vals, render_size: int = 1250):
-    """Host-side reconstruction of the dense RGBA frame."""
+    """Host-side reconstruction of the dense RGBA frame (native C++ stage
+    with a NumPy fallback — runtime/frame.py)."""
     import numpy as np
-    npix = render_size * render_size
-    flat = np.zeros(npix, np.uint32)
-    idx = np.asarray(idx)
-    vals = np.asarray(vals)
-    ok = idx < npix
-    flat[idx[ok]] = vals[ok]
-    return flat.view(np.uint8).reshape(render_size, render_size, 4)
+
+    from nbody_simulation_tpu.runtime.frame import reconstruct
+    return reconstruct(np.asarray(idx), np.asarray(vals), render_size)
