@@ -106,8 +106,13 @@ class World:
                 pos = spos + vel * fdt
             return st.replace(pos=pos, vel=vel, mass=smass)
 
+        ws = config.world_size
+
         @functools.partial(jax.jit, donate_argnums=0)
-        def _step_resort(st: ParticleState, order) -> ParticleState:
+        def _step_resort(st: ParticleState) -> ParticleState:
+            # Morton sort fused into the step: one dispatch, and the gather
+            # produces fresh buffers so donation is safe here.
+            order = morton_order(st.pos, st.mass, ws)
             return _body(st.pos[order], st.vel[order], st.mass[order], st)
 
         @jax.jit  # NOT donated: donating inputs that feed the pallas call
@@ -118,11 +123,9 @@ class World:
             # skip the 3-array permute gather entirely.
             return _body(st.pos, st.vel, st.mass, st)
 
-        ws = config.world_size
-
         def step_bh(st: ParticleState) -> ParticleState:
             if self.updates % max(config.resort_every, 1) == 0:
-                return _step_resort(st, morton_order(st.pos, st.mass, ws))
+                return _step_resort(st)
             return _step_sorted(st)
 
         self._step = step_bh
