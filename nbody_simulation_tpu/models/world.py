@@ -94,7 +94,9 @@ class World:
                                    arity=config.tree_arity,
                                    plan_leaves=config.plan_leaves)[:n]
 
-        fdt = jnp.float32(dt)
+        import numpy as _np
+        fdt = _np.float32(dt)  # host constant: device constants in closures
+        # break re-tracing if the device hiccups
 
         def _body(spos, svel, smass, st):
             if config.integrator == "leapfrog":
