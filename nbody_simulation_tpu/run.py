@@ -53,9 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="serve a live browser viewer on this port "
                         "(the headless stand-in for the reference's window)")
-    p.add_argument("--snapshot-interval", type=float, default=0.25,
+    p.add_argument("--snapshot-interval", type=float, default=0.0,
                    help="min seconds between rendered snapshots (0 = every "
-                        "step with queue room, flume-style)")
+                        "attempt with queue room, flume-style)")
+    p.add_argument("--steps-per-snapshot", type=int, default=10,
+                   help="physics steps between snapshot attempts; the frame "
+                        "readback syncs host to device, pacing the pipeline "
+                        "by sim progress rather than wall clock")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this uses jax.config, which wins)")
@@ -102,7 +106,8 @@ def main(argv=None) -> int:
     world = World(state, cfg)
     world.updates = start_step
     engine = Engine(world, include_particles=bool(args.record),
-                    snapshot_interval=args.snapshot_interval)
+                    snapshot_interval=args.snapshot_interval,
+                    steps_per_snapshot=args.steps_per_snapshot)
 
     if args.serve:
         from nbody_simulation_tpu.viz import ViewerServer

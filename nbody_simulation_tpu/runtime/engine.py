@@ -137,7 +137,10 @@ class Engine:
             while not self._stop.is_set():
                 if max_steps is not None and self.world.updates >= max_steps:
                     break
-                self.world.run(self.steps_per_snapshot)
+                batch = self.steps_per_snapshot
+                if max_steps is not None:
+                    batch = min(batch, max_steps - self.world.updates)
+                self.world.run(batch)
                 if (self.nan_check_every
                         and self.world.updates % self.nan_check_every == 0):
                     self.world.assert_finite()  # raises → surfaced by stop()
