@@ -2,6 +2,9 @@ from nbody_simulation_tpu.parallel.mesh import make_1d_mesh, shard_state
 from nbody_simulation_tpu.parallel.ring import ring_allpairs_accel
 from nbody_simulation_tpu.parallel.sharded_step import (
     make_sharded_step, sharded_diagnostics)
+from nbody_simulation_tpu.parallel.bh_sharded import (
+    bh_sharded_accel, make_sharded_bh_step)
 
 __all__ = ["make_1d_mesh", "shard_state", "ring_allpairs_accel",
-           "make_sharded_step", "sharded_diagnostics"]
+           "make_sharded_step", "sharded_diagnostics",
+           "bh_sharded_accel", "make_sharded_bh_step"]

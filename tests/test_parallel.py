@@ -73,3 +73,33 @@ def test_sharded_diagnostics():
                                (vel * mass[:, None]).sum(0), rtol=1e-4,
                                atol=1e-3)
     assert float(d["kinetic_energy"]) > 0
+
+
+def test_bh_sharded_matches_single_device():
+    from nbody_simulation_tpu.parallel import bh_sharded_accel
+    from nbody_simulation_tpu.ops.traversal import bh_accel
+    from nbody_simulation_tpu.config import SimConfig
+
+    mesh = make_1d_mesh(8)
+    st = uniform_disc(2048, seed=4)
+    cfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False,
+                    frontier_cap=64, leaf_cap=32)
+    want = np.asarray(bh_accel(st.pos, st.mass, theta=0.5,
+                               unweighted_leaf_com=False,
+                               frontier_cap=64, leaf_cap=32))
+    got = np.asarray(bh_sharded_accel(st.pos, st.mass, mesh, config=cfg))
+    rel = np.linalg.norm(got - want, axis=1) / np.maximum(
+        np.linalg.norm(want, axis=1), 1e-12)
+    assert rel.max() < 1e-5, rel.max()
+
+
+def test_bh_sharded_step_runs():
+    from nbody_simulation_tpu.parallel import make_sharded_bh_step
+    from nbody_simulation_tpu.config import SimConfig
+
+    mesh = make_1d_mesh(4)
+    st = shard_state(uniform_disc(1024, seed=5), mesh)
+    step = make_sharded_bh_step(mesh, SimConfig(force_path="bh"))
+    for _ in range(3):
+        st = step(st)
+    assert np.isfinite(np.asarray(st.pos)).all()
