@@ -1,7 +1,11 @@
 """Benchmark suite — the five BASELINE.json configs.
 
-Run: ``python benchmarks/suite.py [--configs 1,2,3,4]``
+Run: ``python benchmarks/suite.py [--configs 0,1,2,3,4,5,6]``
 Prints one JSON line per config. bench.py (the driver headline) is config 4.
+
+0. The reference's own workload: the ~151k-particle galaxy at θ=50 → ups
+6. N=1,048,576 Barnes-Hut θ=50 → particle-steps/sec (the BASELINE.json
+   headline's second metric)
 
 1. N=4,096 random disc, direct O(N²), fixed-dt integrator → steps/sec
 2. N=65,536 Plummer-like cluster, BH θ=0.5 → force error + energy drift
@@ -30,6 +34,28 @@ def sync(x):
 def emit(config, metric, value, unit, **extra):
     print(json.dumps({"config": config, "metric": metric,
                       "value": value, "unit": unit, **extra}), flush=True)
+
+
+def config0():
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models import World, galaxy
+    w = World(galaxy(seed=0), SimConfig(force_path="bh"))
+    w.run(9); sync(w.state)
+    t0 = time.perf_counter(); w.run(64); sync(w.state)
+    dt = (time.perf_counter() - t0) / 64
+    emit(0, "reference galaxy (151k, theta=50) ups", 1 / dt, "steps/s")
+
+
+def config6():
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models import World, uniform_disc
+    n = 1_048_576
+    w = World(uniform_disc(n, seed=0), SimConfig(force_path="bh"))
+    w.run(5); sync(w.state)
+    t0 = time.perf_counter(); w.run(32); sync(w.state)
+    dt = (time.perf_counter() - t0) / 32
+    emit(6, "BH theta=50 N=1M particle-steps/sec", n / dt, "particle-steps/s",
+         steps_per_sec=1 / dt)
 
 
 def config1():
@@ -119,9 +145,10 @@ def config5():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="0,1,2,3,4,5,6")
     args = ap.parse_args()
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {0: config0, 1: config1, 2: config2, 3: config3,
+           4: config4, 5: config5, 6: config6}
     for c in [int(x) for x in args.configs.split(",")]:
         fns[c]()
 
