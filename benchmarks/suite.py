@@ -75,7 +75,11 @@ def config2():
     from nbody_simulation_tpu.ops.force import direct_accel
     from nbody_simulation_tpu.ops.traversal import bh_accel
 
-    st = plummer(65_536, seed=0)
+    # scale_radius 15000: at 65k particles the default 5000 packs the core
+    # denser than the 3-unit Morton cell resolution (overlapping leaf AABBs
+    # degrade the walk to COM fallback) and is hyper-collisional for the
+    # softening anyway — not a meaningful drift benchmark.
+    st = plummer(65_536, seed=0, scale_radius=15_000.0)
     # Force error at t=0 vs direct sum (physics-quality COMs).
     want = np.asarray(direct_accel(st.pos, st.mass, row_chunk=4096))
     got = np.asarray(bh_accel(st.pos, st.mass, theta=0.5,
@@ -89,7 +93,7 @@ def config2():
     kes = {}
     for path, kw in [("direct", {}),
                      ("bh", dict(theta=0.5, unweighted_leaf_com=False))]:
-        w = World(plummer(65_536, seed=0),
+        w = World(plummer(65_536, seed=0, scale_radius=15_000.0),
                   SimConfig(force_path=path, **kw))
         w.run(50); sync(w.state)
         vel = np.asarray(w.state.vel[:w.state.n_real])
