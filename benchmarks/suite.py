@@ -75,16 +75,16 @@ def config2():
     from nbody_simulation_tpu.ops.force import direct_accel
     from nbody_simulation_tpu.ops.traversal import bh_accel
 
-    # scale_radius 15000: at 65k particles the default 5000 packs the core
-    # denser than the 3-unit Morton cell resolution (overlapping leaf AABBs
-    # degrade the walk to COM fallback) and is hyper-collisional for the
-    # softening anyway — not a meaningful drift benchmark.
-    st = plummer(65_536, seed=0, scale_radius=15_000.0)
+    # NOTE on the error floor: at 65k the Plummer core packs many particles
+    # into single 3-unit Morton cells, so their leaf AABBs overlap fully and
+    # the walk degrades to COM fallback there (a θ-style approximation).
+    # Median error ~2-4% reflects that regime, not the far field.
+    st = plummer(65_536, seed=0)
     # Force error at t=0 vs direct sum (physics-quality COMs).
     want = np.asarray(direct_accel(st.pos, st.mass, row_chunk=4096))
     got = np.asarray(bh_accel(st.pos, st.mass, theta=0.5,
                               unweighted_leaf_com=False,
-                              frontier_cap=128, leaf_cap=256, plan_leaves=4))
+                              frontier_cap=128, leaf_cap=256))
     rel = (np.linalg.norm(got - want, axis=1)
            / np.maximum(np.linalg.norm(want, axis=1), 1e-12))
     emit(2, "BH theta=0.5 force rel err (median)", float(np.median(rel)), "")
@@ -92,8 +92,9 @@ def config2():
     # Kinetic-energy drift of BH vs direct over 50 steps.
     kes = {}
     for path, kw in [("direct", {}),
-                     ("bh", dict(theta=0.5, unweighted_leaf_com=False))]:
-        w = World(plummer(65_536, seed=0, scale_radius=15_000.0),
+                     ("bh", dict(theta=0.5, unweighted_leaf_com=False,
+                                 plan_leaves=1))]:
+        w = World(plummer(65_536, seed=0),
                   SimConfig(force_path=path, **kw))
         w.run(50); sync(w.state)
         vel = np.asarray(w.state.vel[:w.state.n_real])
