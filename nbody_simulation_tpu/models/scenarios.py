@@ -138,14 +138,21 @@ def uniform_disc(n: int, seed: int = 0, radius: float = 25_000.0,
 
 
 def plummer(n: int, seed: int = 0, scale_radius: float = 5_000.0,
-            center=(50_000.0, 50_000.0), total_mass: float | None = None
-            ) -> ParticleState:
-    """Plummer-like 2D cluster (BASELINE.json config 2 workload shape)."""
+            center=(50_000.0, 50_000.0), total_mass: float | None = None,
+            world_size: float = 100_000.0) -> ParticleState:
+    """Plummer-like 2D cluster (BASELINE.json config 2 workload shape).
+
+    The halo is clipped to 10 scale radii AND to the world bounds (particles
+    outside [0, world)² would be dropped by the renderer and clamped by the
+    Morton quantizer)."""
     rng = np.random.default_rng(seed)
     # Inverse-CDF sampling of the Plummer radial profile, projected to 2D.
     u = rng.random(n, dtype=np.float32)
     r = scale_radius / np.sqrt(np.maximum(u ** (-2.0 / 3.0) - 1.0, 1e-9))
-    r = np.minimum(r, 10.0 * scale_radius).astype(np.float32)
+    r_max = min(10.0 * scale_radius,
+                center[0], center[1],
+                world_size - center[0] - 1.0, world_size - center[1] - 1.0)
+    r = np.minimum(r, r_max).astype(np.float32)
     theta = rng.random(n, dtype=np.float32) * np.float32(TAU)
     pos = np.stack([np.cos(theta) * r + center[0],
                     np.sin(theta) * r + center[1]], axis=-1).astype(np.float32)
