@@ -197,7 +197,7 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
     def ceil_to(x, m):
         return -(-x // m) * m
 
-    tile_cap = min(tile_j, max(128, ((1 << 19) // s) // 128 * 128))
+    tile_cap = min(tile_j, max(128, ((1 << 20) // s) // 128 * 128))
     n_tiles = max(1, -(-c // tile_cap))
     tj = ceil_to(-(-c // n_tiles), 128)
     target_c = n_tiles * tj
