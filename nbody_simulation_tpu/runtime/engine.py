@@ -80,16 +80,24 @@ class Engine:
 
     def __init__(self, world: World, queue_depth: int = 2,
                  steps_per_snapshot: int = 1, include_particles: bool = False,
-                 nan_check_every: int = 0, snapshot_interval: float = 0.25):
+                 nan_check_every: int = 0, snapshot_interval: float = 0.25,
+                 profile_every: int = 50):
         """``snapshot_interval``: minimum seconds between rendered snapshots.
         The reference gets ups≫fps for free (render on its own thread); here
         the frame readback shares the producer thread (see _render_snapshot),
         so the interval bounds how much of the step budget rendering can
-        take. 0 = render whenever the queue has room, exactly flume-style."""
+        take. 0 = render whenever the queue has room, exactly flume-style.
+
+        ``profile_every``: every k-th batch, one step runs in profile mode
+        (separate synced dispatches) so the Counting phase seconds in
+        snapshots are real, like the reference's per-phase Instant timers
+        (src/main.rs:74-79). 0 disables (fused steps report zeros)."""
         self.world = world
         self.include_particles = include_particles
         self.nan_check_every = nan_check_every
         self.snapshot_interval = snapshot_interval
+        self.profile_every = profile_every
+        self._batches = 0
         self._last_snap_t = 0.0
         cfg: SimConfig = world.config
         slot = _HDR.size + cfg.render_size * cfg.render_size * 4
@@ -140,7 +148,12 @@ class Engine:
                 batch = self.steps_per_snapshot
                 if max_steps is not None:
                     batch = min(batch, max_steps - self.world.updates)
-                self.world.run(batch)
+                self._batches += 1
+                if self.profile_every and self._batches % self.profile_every == 0:
+                    self.world.step_timed(self.counting)
+                    batch -= 1
+                if batch > 0:
+                    self.world.run(batch)
                 if (self.nan_check_every
                         and self.world.updates % self.nan_check_every == 0):
                     self.world.assert_finite()  # raises → surfaced by stop()
