@@ -53,10 +53,14 @@ def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
     else:
         # Same law, but the division is an approximate VPU reciprocal,
         # optionally sharpened by one Newton step r*(2 - den*r) (~1 ulp).
+        # The is_normal guard is two compares: s <= FLT_MAX is false for
+        # both inf and NaN, so this matches jnp.isfinite exactly; masked
+        # lanes may carry inf/NaN through the reciprocal — the final where
+        # kills them (cheaper than sanitizing the denominator first).
         s = jnp.abs(dx) + jnp.abs(dy)
-        normal = jnp.isfinite(s) & (s >= FLT_MIN_NORMAL)
+        normal = (s >= FLT_MIN_NORMAL) & (s <= jnp.float32(3.4028235e38))
         d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
-        den = jnp.where(normal, s * d2, jnp.float32(1.0))
+        den = s * d2
         r = pl.reciprocal(den, approx=True)
         if rcp == "newton":
             r = r * (jnp.float32(2.0) - den * r)
