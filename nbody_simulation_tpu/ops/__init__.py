@@ -4,6 +4,7 @@ from nbody_simulation_tpu.ops.force import (
     direct_accel,
 )
 from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+from nbody_simulation_tpu.ops.allpairs_grad import allpairs_accel_diff
 from nbody_simulation_tpu.ops.integrate import euler_step, leapfrog_step
 from nbody_simulation_tpu.ops.morton import morton_encode, morton_order
 from nbody_simulation_tpu.ops.tree import build_tree, summarize_sorted
@@ -15,6 +16,7 @@ __all__ = [
     "pair_accel",
     "direct_accel",
     "allpairs_accel",
+    "allpairs_accel_diff",
     "euler_step",
     "leapfrog_step",
     "morton_encode",

@@ -1,0 +1,65 @@
+"""Custom VJP of the blocked all-pairs kernel vs autodiff of the direct path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nbody_simulation_tpu.ops.allpairs_grad import allpairs_accel_diff
+from nbody_simulation_tpu.ops.force import direct_accel
+
+
+def cloud(rng, n):
+    pos = rng.uniform(0, 100_000, (n, 2)).astype(np.float32)
+    mass = rng.integers(1, 100, n).astype(np.float32)
+    return jnp.asarray(pos), jnp.asarray(mass)
+
+
+def test_vjp_matches_autodiff(rng):
+    n = 256
+    pos, mass = cloud(rng, n)
+    cot = jnp.asarray(rng.normal(0, 1, (n, 2)).astype(np.float32))
+
+    def loss_kernel(p, m):
+        return jnp.sum(allpairs_accel_diff(p, m, 1e-3, 128, 256) * cot)
+
+    def loss_direct(p, m):
+        return jnp.sum(direct_accel(p, m, row_chunk=n) * cot)
+
+    gp_k, gm_k = jax.grad(loss_kernel, argnums=(0, 1))(pos, mass)
+    gp_d, gm_d = jax.grad(loss_direct, argnums=(0, 1))(pos, mass)
+    np.testing.assert_allclose(np.asarray(gp_k), np.asarray(gp_d),
+                               rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gm_k), np.asarray(gm_d),
+                               rtol=2e-4, atol=1e-10)
+
+
+def test_vjp_forward_value_unchanged(rng):
+    n = 128
+    pos, mass = cloud(rng, n)
+    a = np.asarray(allpairs_accel_diff(pos, mass, 1e-3, 128, 128))
+    from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+    b = np.asarray(allpairs_accel(pos, mass, tile_i=128, tile_j=128))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_vjp_near_softening_boundary(rng):
+    # Pairs inside the clamp: gradient flows only through s there.
+    n = 128
+    base = rng.uniform(0, 100.0, (1, 2)).astype(np.float32)
+    pos = (base + rng.normal(0, 0.01, (n, 2))).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    pos, mass = jnp.asarray(pos), jnp.asarray(mass)
+    cot = jnp.asarray(rng.normal(0, 1, (n, 2)).astype(np.float32))
+
+    gp_k = np.asarray(jax.grad(lambda p: jnp.sum(
+        allpairs_accel_diff(p, mass, 1e-3, 128, 128) * cot))(pos))
+    gp_d = np.asarray(jax.grad(lambda p: jnp.sum(
+        direct_accel(p, mass, row_chunk=n) * cot))(pos))
+    # Inside the clamp the per-pair gradients reach ~1e7 and nearly cancel,
+    # so elementwise fp32 comparison breaks down on a few components
+    # (different summation orders + subgradient choices at |d|=0 / d2=eps).
+    # Assert on the bulk and the overall direction instead.
+    rel = np.abs(gp_k - gp_d) / np.maximum(np.abs(gp_d), 1.0)
+    assert np.percentile(rel, 95) < 1e-3, np.percentile(rel, 95)
+    l2 = np.linalg.norm(gp_k - gp_d) / np.linalg.norm(gp_d)
+    assert l2 < 1e-2, l2
