@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a checkpoint")
     p.add_argument("--record", type=Path, default=None,
                    help="zstd position-delta recording file")
+    p.add_argument("--gif", type=Path, default=None,
+                   help="assemble kept snapshots into an animated GIF "
+                        "(composited over black like the reference window)")
     p.add_argument("--weighted-leaf-com", action="store_true",
                    help="fix the reference's unweighted-leaf-COM quirk")
     p.add_argument("--quiet", action="store_true")
@@ -132,6 +135,7 @@ def main(argv=None) -> int:
     engine.start(max_steps=start_step + args.steps)
     last = None
     kept = 0
+    gif_frames = []
     while True:
         snap = engine.next_snapshot(timeout=None)
         if snap is None:
@@ -143,6 +147,9 @@ def main(argv=None) -> int:
             save_png(args.out / f"frame_{snap.step:08d}.png", snap.frame)
         if recorder is not None and snap.pos is not None:
             recorder.maybe_record(snap.pos, snap.step)
+        if args.gif is not None:
+            from nbody_simulation_tpu.runtime.frame import composite_black
+            gif_frames.append(composite_black(snap.frame))
     engine.join(timeout=600)
     engine.stop()
 
@@ -153,6 +160,15 @@ def main(argv=None) -> int:
         recorder.close()
         emit(f"recording: {recorder.frames} frames, raw {recorder.raw_bytes}"
              f" comp {recorder.comp_bytes}")
+    if args.gif is not None and gif_frames:
+        try:
+            from PIL import Image
+            imgs = [Image.fromarray(f) for f in gif_frames]
+            imgs[0].save(args.gif, save_all=True, append_images=imgs[1:],
+                         duration=80, loop=0)
+            emit(f"gif: {args.gif} ({len(imgs)} frames)")
+        except ImportError:
+            emit("gif: PIL unavailable, skipped")
     if args.checkpoint:
         save_checkpoint(args.checkpoint, world.state.real_slice(),
                         world.updates)

@@ -84,3 +84,19 @@ def test_cli_end_to_end(tmp_path):
         cwd=str(Path(__file__).parent.parent))
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "done: 3 steps" in r2.stdout
+
+
+def test_cli_gif_output(tmp_path):
+    gif = tmp_path / "out.gif"
+    cmd = [sys.executable, "-m", "nbody_simulation_tpu.run",
+           "--scenario", "uniform", "--n", "256", "--steps", "12",
+           "--platform", "cpu", "--force-path", "direct",
+           "--render-size", "48", "--out", "", "--gif", str(gif),
+           "--steps-per-snapshot", "3", "--snapshot-interval", "0"]
+    import os
+    env = dict(os.environ)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                       env=env, cwd=str(Path(__file__).parent.parent))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert gif.exists()
+    assert gif.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
