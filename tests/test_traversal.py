@@ -151,3 +151,13 @@ def test_plan_leaves_quality_at_theta_half():
                               unweighted_leaf_com=False))
     e = rel_err(got, want)
     assert np.percentile(e, 99) < 2e-3, np.percentile(e, 99)
+
+
+def test_leaf_size_variants_exact_at_theta0():
+    pos, mass = cloud(512, heavy=False)
+    want = np.asarray(direct_accel(pos, mass, row_chunk=512))
+    for leaf in (32, 128):
+        got = np.asarray(bh_accel(pos, mass, theta=0.0, leaf_size=leaf,
+                                  frontier_cap=64, leaf_cap=32))
+        e = rel_err(got, want)
+        assert e.max() < 1e-4, (leaf, e.max())
