@@ -113,18 +113,33 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
     assert arity in (2, 4), arity
     depth = tree.depth
     n_leaves, S, _ = tree.leaf_pos.shape
-    F = frontier_cap
     # Planning granularity: one planning row covers ``plan_leaves`` adjacent
     # leaves; its AABB is the common ancestor node at level depth-log2(pl),
     # so the walk stays conservative while the planner shrinks by pl×. The
     # tree itself (leaf size, COM semantics) is unchanged.
     pl_ = plan_leaves
-    while pl_ > 1 and (n_leaves % pl_ or (1 << (depth)) < pl_):
+    while pl_ > 1 and (n_leaves % pl_ or (1 << depth) < pl_):
         pl_ //= 2
-    g_rows = n_leaves // pl_
     own_level = tree.levels[depth - (pl_.bit_length() - 1)]
-    gmin = own_level.aabb_min[:, None, :]     # (G',1,2) group AABB
-    gmax = own_level.aabb_max[:, None, :]
+    return plan_rows(tree, own_level, theta, frontier_cap, leaf_cap, arity)
+
+
+def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
+              leaf_cap: int, arity: int = 2):
+    """The planner over explicit own-AABB rows.
+
+    ``own`` holds one AABB per planning row (a Level or slice of one);
+    candidate records and leaf tiles are gathered from ``tree``. The row
+    count need not equal the leaf count — the sharded walk
+    (parallel/bh_sharded.py) plans a slice of the rows against the full
+    tree through this same entry.
+    """
+    depth = tree.depth
+    S = tree.leaf_pos.shape[1]
+    F = frontier_cap
+    g_rows = own.aabb_min.shape[0]
+    gmin = own.aabb_min[:, None, :]     # (G',1,2) group AABB
+    gmax = own.aabb_max[:, None, :]
 
     # Deepest level whose full width fits the frontier.
     k0 = min(max(F.bit_length() - 1, 0), depth - 1) if depth > 0 else 0
