@@ -91,7 +91,10 @@ class Engine:
         ``profile_every``: every k-th batch, one step runs in profile mode
         (separate synced dispatches) so the Counting phase seconds in
         snapshots are real, like the reference's per-phase Instant timers
-        (src/main.rs:74-79). 0 disables (fused steps report zeros)."""
+        (src/main.rs:74-79). 0 disables (fused steps report zeros). NOTE:
+        the first profiled step pays one-off compilation of the per-phase
+        dispatch graph, which lands in the counters (like the reference,
+        Counting is cumulative wall time, warts and all)."""
         self.world = world
         self.include_particles = include_particles
         self.nan_check_every = nan_check_every
