@@ -181,24 +181,55 @@ class World:
 
             cfg = self.config
             st = self.state
+            fcap, lcap = cfg.resolved_caps()
+
+            def _build(pos, mass):
+                return summarize_sorted(
+                    pos, mass, leaf_size=cfg.leaf_size,
+                    unweighted_leaf_com=cfg.unweighted_leaf_com)
+
+            def _force(tree, n):
+                # Same walk configuration as the fused step (_init_bh_step):
+                # Counting must time the configuration the engine actually runs.
+                return bh_accel_sorted(tree, theta=cfg.theta,
+                                       softening2=cfg.softening2,
+                                       frontier_cap=fcap, leaf_cap=lcap,
+                                       arity=cfg.tree_arity,
+                                       plan_leaves=cfg.plan_leaves)[:n]
+
             with PhaseTimer(counting, "build_bvh"):
                 order = morton_order(st.pos, st.mass, cfg.world_size)
                 spos, svel, smass = st.pos[order], st.vel[order], st.mass[order]
-                tree = summarize_sorted(
-                    spos, smass, leaf_size=cfg.leaf_size,
-                    unweighted_leaf_com=cfg.unweighted_leaf_com)
+                tree = _build(spos, smass)
                 _ = float(tree.levels[0].com[0, 0])  # host sync
             with PhaseTimer(counting, "sum_gravity"):
-                fcap, lcap = cfg.resolved_caps()
-                accel = bh_accel_sorted(tree, theta=cfg.theta,
-                                        softening2=cfg.softening2,
-                                        frontier_cap=fcap,
-                                        leaf_cap=lcap)[:st.n]
+                accel = _force(tree, st.n)
                 _ = float(accel[0, 0])
-            with PhaseTimer(counting, "post_calculations"):
-                self.state = euler_step(
-                    st.replace(pos=spos, vel=svel, mass=smass), accel, cfg.dt)
-                _ = float(self.state.pos[0, 0])
+            if cfg.integrator == "leapfrog":
+                # Kick-drift, then the second force eval (timed as
+                # sum_gravity, its tree rebuild as build_bvh) and the
+                # closing kick — same trajectory as the fused leapfrog step.
+                dt = jnp.float32(cfg.dt)
+                with PhaseTimer(counting, "post_calculations"):
+                    v_half = svel + accel * (dt * jnp.float32(0.5))
+                    spos2 = spos + v_half * dt
+                    _ = float(spos2[0, 0])
+                with PhaseTimer(counting, "build_bvh"):
+                    tree2 = _build(spos2, smass)
+                    _ = float(tree2.levels[0].com[0, 0])
+                with PhaseTimer(counting, "sum_gravity"):
+                    accel2 = _force(tree2, st.n)
+                    _ = float(accel2[0, 0])
+                with PhaseTimer(counting, "post_calculations"):
+                    vel2 = v_half + accel2 * (dt * jnp.float32(0.5))
+                    self.state = st.replace(pos=spos2, vel=vel2, mass=smass)
+                    _ = float(self.state.pos[0, 0])
+            else:
+                with PhaseTimer(counting, "post_calculations"):
+                    self.state = euler_step(
+                        st.replace(pos=spos, vel=svel, mass=smass), accel,
+                        cfg.dt)
+                    _ = float(self.state.pos[0, 0])
         else:
             with PhaseTimer(counting, "sum_gravity"):
                 accel = self._accel(self.state.pos, self.state.mass)

@@ -59,20 +59,29 @@ def direct_accel(pos: jax.Array, mass: jax.Array,
     Equivalent to running the reference's leaf loop (src/main.rs:355-362)
     over every pair. Self-pairs are masked by the is_normal guard. Memory is
     bounded by evaluating ``row_chunk`` targets at a time with ``lax.map``.
+
+    Any N is accepted: targets are padded internally to a multiple of
+    ``row_chunk`` (padding rows are computed and discarded; they cost one
+    extra chunk at most) and sources need no padding at all.
     """
     n = pos.shape[0]
-    assert n % row_chunk == 0 or n < row_chunk, (n, row_chunk)
     chunk = min(row_chunk, n)
+    n_pad = -(-n // chunk) * chunk
     x, y = pos[:, 0], pos[:, 1]
+    if n_pad != n:
+        xt = jnp.concatenate([x, jnp.zeros(n_pad - n, jnp.float32)])
+        yt = jnp.concatenate([y, jnp.zeros(n_pad - n, jnp.float32)])
+    else:
+        xt, yt = x, y
 
     def one_chunk(start):
-        xi = jax.lax.dynamic_slice(x, (start,), (chunk,))
-        yi = jax.lax.dynamic_slice(y, (start,), (chunk,))
+        xi = jax.lax.dynamic_slice(xt, (start,), (chunk,))
+        yi = jax.lax.dynamic_slice(yt, (start,), (chunk,))
         dx = x[None, :] - xi[:, None]
         dy = y[None, :] - yi[:, None]
         ax, ay = pair_accel(dx, dy, mass[None, :], softening2)
         return jnp.stack([ax.sum(axis=1), ay.sum(axis=1)], axis=-1)
 
-    starts = jnp.arange(0, n, chunk)
-    out = jax.lax.map(one_chunk, starts)  # (n/chunk, chunk, 2)
-    return out.reshape(n, 2)
+    starts = jnp.arange(0, n_pad, chunk)
+    out = jax.lax.map(one_chunk, starts)  # (n_pad/chunk, chunk, 2)
+    return out.reshape(n_pad, 2)[:n]

@@ -28,9 +28,19 @@ def make_1d_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
 
 def shard_state(state: ParticleState, mesh: Mesh,
                 axis: str = AXIS) -> ParticleState:
-    """Pad N to a multiple of the mesh size x 2048 and shard over particles."""
+    """Pad so the per-device shard is tile-compatible, then shard particles.
+
+    The local shard size is padded to a power of two (or a multiple of 2048
+    once past it), which divides — or is smaller than — every power-of-two
+    Pallas tile the step kernels use, for ANY input N.
+    """
     n_dev = mesh.shape[axis]
-    state = state.pad_to(n_dev * 2048 if state.n >= n_dev * 2048 else n_dev * 8)
+    local = -(-state.n // n_dev)
+    if local <= 2048:
+        local = max(8, 1 << (local - 1).bit_length())
+    else:
+        local = -(-local // 2048) * 2048
+    state = state.pad_to(n_dev * local)
     sh = NamedSharding(mesh, PartitionSpec(axis))
     return ParticleState(
         jax.device_put(state.pos, NamedSharding(mesh, PartitionSpec(axis, None))),

@@ -135,7 +135,12 @@ def main(argv=None) -> int:
     engine.start(max_steps=start_step + args.steps)
     last = None
     kept = 0
+    # GIF frames are retained in host memory until assembly; cap the list by
+    # doubling a keep-stride whenever it fills (long runs keep an evenly
+    # subsampled ~GIF_MAX_FRAMES instead of growing without bound).
+    GIF_MAX_FRAMES = 400
     gif_frames = []
+    gif_stride, gif_seen = 1, 0
     while True:
         snap = engine.next_snapshot(timeout=None)
         if snap is None:
@@ -149,7 +154,12 @@ def main(argv=None) -> int:
             recorder.maybe_record(snap.pos, snap.step)
         if args.gif is not None:
             from nbody_simulation_tpu.runtime.frame import composite_black
-            gif_frames.append(composite_black(snap.frame))
+            if gif_seen % gif_stride == 0:
+                gif_frames.append(composite_black(snap.frame))
+                if len(gif_frames) > GIF_MAX_FRAMES:
+                    gif_frames = gif_frames[::2]
+                    gif_stride *= 2
+            gif_seen += 1
     engine.join(timeout=600)
     engine.stop()
 

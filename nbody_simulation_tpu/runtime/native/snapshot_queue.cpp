@@ -47,7 +47,13 @@ void* sq_create(size_t capacity, size_t slot_bytes) {
 // Returns 1 if enqueued, 0 if dropped (full/oversized/closed).
 int sq_try_push(void* vq, const uint8_t* data, size_t len) {
   auto* q = static_cast<SnapshotQueue*>(vq);
-  if (len > q->slot_bytes) return 0;
+  if (len > q->slot_bytes) {
+    // Oversized payloads count as drops, matching the Python fallback's
+    // semantics (runtime/queue.py) so Engine.dropped agrees on both paths.
+    std::lock_guard<std::mutex> lk(q->mu);
+    q->dropped++;
+    return 0;
+  }
   {
     std::lock_guard<std::mutex> lk(q->mu);
     if (q->closed || q->count == q->cap) {

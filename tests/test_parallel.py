@@ -61,6 +61,16 @@ def test_sharded_step_runs_and_matches_single_device():
     assert rel.max() < 1e-5, rel.max()
 
 
+def test_sharded_step_arbitrary_n():
+    """shard_state must pad ANY N to a tile-compatible per-device shard
+    (default tiles 512/2048) — N=10000 on 8 devices used to raise."""
+    mesh = make_1d_mesh(8)
+    sh = shard_state(uniform_disc(10_000, seed=0), mesh)
+    step = make_sharded_step(mesh, SimConfig())
+    sh = step(sh)
+    assert np.isfinite(np.asarray(sh.pos)).all()
+
+
 def test_sharded_diagnostics():
     mesh = make_1d_mesh(4)
     st = uniform_disc(256, seed=3)

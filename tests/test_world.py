@@ -94,3 +94,34 @@ def test_leapfrog_bh_runs():
     w = World(uniform_disc(256, seed=2), cfg)
     w.run(3)
     assert np.isfinite(np.asarray(w.state.pos)).all()
+
+
+def test_step_timed_matches_fused_bh():
+    """Profile-mode steps must run the SAME walk configuration (arity,
+    plan_leaves, integrator) as the fused step: interleaving step_timed
+    into a fused run must not change the trajectory beyond fp noise."""
+    for integrator in ("euler", "leapfrog"):
+        cfg = SimConfig(force_path="bh", integrator=integrator,
+                        tree_arity=4, plan_leaves=2, resort_every=1)
+        w1 = World(uniform_disc(512, seed=3), cfg)
+        w2 = World(uniform_disc(512, seed=3), cfg)
+        c = Counting()
+        for i in range(4):
+            w1.step()
+            if i == 2:
+                w2.step_timed(c)
+            else:
+                w2.step()
+        assert c.sum_gravity > 0.0 and c.build_bvh > 0.0
+        np.testing.assert_allclose(np.asarray(w1.state.pos),
+                                   np.asarray(w2.state.pos),
+                                   rtol=2e-5, atol=1e-3,
+                                   err_msg=integrator)
+
+
+def test_direct_arbitrary_n():
+    """direct_accel pads internally: any N (incl. padded sizes not divisible
+    by row_chunk) must work end to end."""
+    w = World(uniform_disc(1100, seed=0), SimConfig(force_path="direct"))
+    w.run(2)
+    assert np.isfinite(np.asarray(w.state.pos)).all()
