@@ -74,10 +74,11 @@ class SimConfig:
     # count (raise these for high-quality runs).
     # None = resolved from θ: (16, 8) for the reference's aggressive θ≥2
     # regime (measured quality-equal to (128, 64) at θ=50 on the galaxy and
-    # ~3x faster), (128, 128) for physics-quality θ<2 where the near field
-    # spans many more nodes (under-capped runs silently degrade to COM
-    # fallback — measured 44% median error at θ=0.5 with the θ=50 caps;
-    # dense Plummer cores at N=65536 still need leaf_cap 256).
+    # ~3x faster), (256, 256·…) for physics-quality θ<2 where the near
+    # field spans many more nodes. Overflow falls back to COM on the
+    # FARTHEST opened nodes (closest-first compaction, ops/traversal.py),
+    # so under-capping degrades smoothly — measured at N=65k Plummer θ=0.5
+    # quadrupole: 2.0e-4 median at F=512, 7.5e-4 at 128, 1.2e-2 at 32.
     frontier_cap: int | None = None
     leaf_cap: int | None = None
 
@@ -87,10 +88,37 @@ class SimConfig:
         # plan_leaves leaves plus a neighborhood ring).
         pl = max(1, self.plan_leaves)
         f = self.frontier_cap if self.frontier_cap is not None else (
-            16 if self.theta >= 2.0 else 128)
+            16 if self.theta >= 2.0 else 256)
         l = self.leaf_cap if self.leaf_cap is not None else (
             max(8, 4 * pl) if self.theta >= 2.0 else max(256, 32 * pl))
         return f, l
+
+    # Morton key depth in bits per axis. None resolves from θ: 15 (one int32
+    # key, one sort — cell ≈ 3 world units) for the reference's aggressive
+    # θ≥2 regime, 24 (two key words, LSD radix 2-sort — cell ≈ 0.006 units)
+    # for physics-quality θ<2, where dense cluster cores must keep
+    # subdividing spatially or every core leaf overlaps and the walk falls
+    # back to COM there (the round-1 source of >1e-3 Plummer force error).
+    morton_bits: int | None = None
+
+    def resolved_morton_bits(self) -> int:
+        if self.morton_bits is not None:
+            return self.morton_bits
+        return 15 if self.theta >= 2.0 else 24
+
+    # Multipole order of accepted-node forces: 1 = COM monopole (the
+    # reference's approximation, src/main.rs:374-379), 2 = + quadrupole
+    # correction from the node's second moments (≈10-100× lower acceptance
+    # error for ~2× sweep flops — the route to <1e-3 force error at θ=0.5,
+    # where monopole acceptance error is inherently ~1.6e-3). None resolves
+    # from θ: monopole in the reference's θ≥2 regime, quadrupole below.
+    # Quadrupole assumes mass-weighted COMs (set unweighted_leaf_com=False).
+    multipole: int | None = None
+
+    def resolved_multipole(self) -> int:
+        if self.multipole is not None:
+            return self.multipole
+        return 1 if self.theta >= 2.0 else 2
 
     # Traversal fan-out: 2 walks the binary BVH level by level; 4 walks two
     # levels at once (the 4-ary subdivision of the reference's dead QuadTree,
@@ -104,6 +132,14 @@ class SimConfig:
     # 8 measured 136 ups on the galaxy (vs 54 at 1) at equal-or-better
     # force quality.
     plan_leaves: int = 8
+
+    # Distributed-BH (parallel/bh_distributed.py) capacities for visiting
+    # subtrees that are ring-FAR (neither the local stage nor a ring
+    # neighbor): those are almost always accepted near their root, so small
+    # caps save sweep width; overflow degrades to node-COM, never drops
+    # force. None = use the full resolved caps (exactness-matching mode).
+    far_frontier_cap: int | None = None
+    far_leaf_cap: int | None = None
 
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).

@@ -50,6 +50,18 @@ class World:
         pad = max(config.tile_i, config.tile_j) if config.force_path == "pallas" else 256
         self.state = state.pad_to(pad)
         self.updates = 0
+        self._build_step(config)
+
+    def reconfigure(self, **changes) -> None:
+        """Swap runtime knobs (theta, dt, integrator, ...) mid-simulation —
+        the live version of the reference's recompile-to-tune consts
+        (src/main.rs:31-35). Rebuilds the jitted step closures; the state
+        and step counter carry over. Must be called from the thread that
+        owns the state (the engine applies it at batch boundaries)."""
+        self.config = self.config.replace(**changes)
+        self._build_step(self.config)
+
+    def _build_step(self, config: SimConfig) -> None:
         dt = config.dt
 
         if config.force_path == "bh":
@@ -92,7 +104,8 @@ class World:
                                    softening2=config.softening2,
                                    frontier_cap=fcap, leaf_cap=lcap,
                                    arity=config.tree_arity,
-                                   plan_leaves=config.plan_leaves)[:n]
+                                   plan_leaves=config.plan_leaves,
+                                   multipole=config.resolved_multipole())[:n]
 
         import numpy as _np
         fdt = _np.float32(dt)  # host constant: device constants in closures
@@ -109,12 +122,13 @@ class World:
             return st.replace(pos=pos, vel=vel, mass=smass)
 
         ws = config.world_size
+        mbits = config.resolved_morton_bits()
 
         @functools.partial(jax.jit, donate_argnums=0)
         def _step_resort(st: ParticleState) -> ParticleState:
             # Morton sort fused into the step: one dispatch, and the gather
             # produces fresh buffers so donation is safe here.
-            order = morton_order(st.pos, st.mass, ws)
+            order = morton_order(st.pos, st.mass, ws, bits=mbits)
             return _body(st.pos[order], st.vel[order], st.mass[order], st)
 
         @jax.jit  # NOT donated: donating inputs that feed the pallas call
@@ -195,10 +209,12 @@ class World:
                                        softening2=cfg.softening2,
                                        frontier_cap=fcap, leaf_cap=lcap,
                                        arity=cfg.tree_arity,
-                                       plan_leaves=cfg.plan_leaves)[:n]
+                                       plan_leaves=cfg.plan_leaves,
+                                       multipole=cfg.resolved_multipole())[:n]
 
             with PhaseTimer(counting, "build_bvh"):
-                order = morton_order(st.pos, st.mass, cfg.world_size)
+                order = morton_order(st.pos, st.mass, cfg.world_size,
+                                     bits=cfg.resolved_morton_bits())
                 spos, svel, smass = st.pos[order], st.vel[order], st.mass[order]
                 tree = _build(spos, smass)
                 _ = float(tree.levels[0].com[0, 0])  # host sync

@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nbody_simulation_tpu.ops.allpairs import _allpairs_kernel
-from nbody_simulation_tpu.ops.tree import FlatTree, build_tree
+from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL
+from nbody_simulation_tpu.ops.tree import BIG, FlatTree, build_tree
 
 
 def accept_node_scalar(p, nmin, nmax, com, theta):
@@ -59,8 +60,9 @@ def accept_node_scalar(p, nmin, nmax, com, theta):
     return (~contains) & (s2 < d2 * theta * theta)
 
 
-def _accept_group(gmin, gmax, nmin, nmax, ncom, theta):
-    """Group-conservative acceptance. gmin/gmax: (G,1,2); node data (G,K,2)."""
+def _group_node_d2(gmin, gmax, nmin, nmax, ncom):
+    """Min squared distance from the group AABB to the node COM; plus the
+    strict-disjoint flag and node size² (shared by acceptance variants)."""
     disjoint = ((gmax[..., 0] <= nmin[..., 0]) | (gmin[..., 0] >= nmax[..., 0])
                 | (gmax[..., 1] <= nmin[..., 1]) | (gmin[..., 1] >= nmax[..., 1]))
     size = nmax - nmin
@@ -69,7 +71,12 @@ def _accept_group(gmin, gmax, nmin, nmax, ncom, theta):
                                  ncom[..., 0] - gmax[..., 0]), 0.0)
     dy = jnp.maximum(jnp.maximum(gmin[..., 1] - ncom[..., 1],
                                  ncom[..., 1] - gmax[..., 1]), 0.0)
-    d2 = dx * dx + dy * dy
+    return disjoint, s2, dx * dx + dy * dy
+
+
+def _accept_group(gmin, gmax, nmin, nmax, ncom, theta):
+    """Group-conservative acceptance. gmin/gmax: (G,1,2); node data (G,K,2)."""
+    disjoint, s2, d2 = _group_node_d2(gmin, gmax, nmin, nmax, ncom)
     return disjoint & (s2 < d2 * jnp.float32(theta * theta))
 
 
@@ -93,8 +100,76 @@ def _compact(flags: jax.Array, values: jax.Array, cap: int):
     return lists, valid, overflow
 
 
+def _quad_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
+                 qxx_ref, qxy_ref, qyy_ref, ax_ref, ay_ref,
+                 softening2: float, rcp: str):
+    """Monopole + quadrupole force tile.
+
+    Sources carry second moments Q = Σ m·δδᵀ about their COM (ops/tree.py);
+    the correction is ½·Q : ∇∇f evaluated at the COM displacement, with the
+    Hessian of the reference kernel f(d) = d/(‖d‖₁·‖d‖₂²) in closed form
+    (validated against jax.hessian in tests/test_traversal.py). Leaf-particle
+    sources have Q = 0, so the correction vanishes for exact interactions.
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        ax_ref[:] = jnp.zeros_like(ax_ref)
+        ay_ref[:] = jnp.zeros_like(ay_ref)
+
+    dx = xj_ref[:] - xi_ref[:]          # (TI,TJ): d = source − target
+    dy = yj_ref[:] - yi_ref[:]
+    adx = jnp.abs(dx)
+    ady = jnp.abs(dy)
+    s = adx + ady
+    normal = (s >= FLT_MIN_NORMAL) & (s <= jnp.float32(3.4028235e38))
+    d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
+    if rcp == "exact":
+        a = jnp.float32(1.0) / s
+        b = jnp.float32(1.0) / d2
+    else:
+        a = pl.reciprocal(s, approx=True)
+        b = pl.reciprocal(d2, approx=True)
+        if rcp == "newton":
+            a = a * (jnp.float32(2.0) - s * a)
+            b = b * (jnp.float32(2.0) - d2 * b)
+    w = mj_ref[:] * (a * b)
+    # Hessian pieces of g(d) = 1/(‖d‖₁·‖d‖₂²): g_x, g_y and g_{xx,xy,yy}.
+    sx = jnp.where(dx >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    sy = jnp.where(dy >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+    ab = a * b
+    a2b = a * ab
+    ab2 = b * ab
+    a3b = a * a2b
+    a2b2 = b * a2b
+    ab3 = b * ab2
+    gx = -(sx * a2b + jnp.float32(2.0) * dx * ab2)
+    gy = -(sy * a2b + jnp.float32(2.0) * dy * ab2)
+    t1 = jnp.float32(2.0) * a3b
+    t2 = jnp.float32(2.0) * ab2
+    gxx = t1 + jnp.float32(4.0) * adx * a2b2 - t2 + jnp.float32(8.0) * dx * dx * ab3
+    gyy = t1 + jnp.float32(4.0) * ady * a2b2 - t2 + jnp.float32(8.0) * dy * dy * ab3
+    gxy = (jnp.float32(2.0) * sx * sy * a3b
+           + jnp.float32(2.0) * (sx * dy + sy * dx) * a2b2
+           + jnp.float32(8.0) * dx * dy * ab3)
+    qxx = qxx_ref[:]
+    qxy = qxy_ref[:]
+    qyy = qyy_ref[:]
+    half = jnp.float32(0.5)
+    corr_x = half * ((jnp.float32(2.0) * gx + dx * gxx) * qxx
+                     + jnp.float32(2.0) * (gy + dx * gxy) * qxy
+                     + (dx * gyy) * qyy)
+    corr_y = half * ((dy * gxx) * qxx
+                     + jnp.float32(2.0) * (gx + dy * gxy) * qxy
+                     + (jnp.float32(2.0) * gy + dy * gyy) * qyy)
+    cx = jnp.where(normal, dx * w + corr_x, jnp.float32(0.0))
+    cy = jnp.where(normal, dy * w + corr_y, jnp.float32(0.0))
+    ax_ref[:] += jnp.sum(cx, axis=1, keepdims=True)
+    ay_ref[:] += jnp.sum(cy, axis=1, keepdims=True)
+
+
 def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
-                    leaf_cap: int, arity: int = 2, plan_leaves: int = 1):
+                    leaf_cap: int, arity: int = 2, plan_leaves: int = 1,
+                    multipole: int = 1):
     """BFS planning pass → per-group source lists (src_x, src_y, src_m),
     each (G, C). Masked (zero-mass) entries contribute zero force.
 
@@ -121,11 +196,12 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
     while pl_ > 1 and (n_leaves % pl_ or (1 << depth) < pl_):
         pl_ //= 2
     own_level = tree.levels[depth - (pl_.bit_length() - 1)]
-    return plan_rows(tree, own_level, theta, frontier_cap, leaf_cap, arity)
+    return plan_rows(tree, own_level, theta, frontier_cap, leaf_cap, arity,
+                     multipole=multipole)
 
 
 def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
-              leaf_cap: int, arity: int = 2):
+              leaf_cap: int, arity: int = 2, multipole: int = 1):
     """The planner over explicit own-AABB rows.
 
     ``own`` holds one AABB per planning row (a Level or slice of one);
@@ -133,7 +209,17 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
     count need not equal the leaf count — the sharded walk
     (parallel/bh_sharded.py) plans a slice of the rows against the full
     tree through this same entry.
+
+    Returns ``(src_x, src_y, src_m)`` lists of (G, C) for ``multipole=1``,
+    plus ``(src_qxx, src_qxy, src_qyy)`` for ``multipole=2`` (accepted nodes
+    carry their second moments; leaf-particle sources carry zeros).
+
+    Compile-time shape: for ``arity=2`` all interior levels run as ONE
+    ``lax.scan`` over the stacked (width-padded) level records, so the
+    traced graph no longer grows with tree depth — only the first (frontier
+    seed) and last (leaf compaction) iterations are peeled.
     """
+    assert multipole in (1, 2), multipole
     depth = tree.depth
     S = tree.leaf_pos.shape[1]
     F = frontier_cap
@@ -144,7 +230,76 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
     # Deepest level whose full width fits the frontier.
     k0 = min(max(F.bit_length() - 1, 0), depth - 1) if depth > 0 else 0
 
-    src_x, src_y, src_m = [], [], []
+    def level_body(packed_child, frontier, valid, fan, cap):
+        """Expand one level: test fan·F candidate children, emit their COM
+        source columns, compact the opened ones (closest first) into a
+        width-``cap`` list. Returns (new_list, new_valid, cols)."""
+        cand = jnp.concatenate([frontier * fan + i for i in range(fan)],
+                               axis=1)                          # (G, fan*F)
+        cvalid = jnp.concatenate([valid] * fan, axis=1)
+        rec = packed_child[cand]                                # ONE gather
+        nmin = rec[..., 0:2]
+        nmax = rec[..., 2:4]
+        ncom = rec[..., 4:6]
+        nonempty = rec[..., 7] > 0
+        disjoint, s2, d2 = _group_node_d2(gmin, gmax, nmin, nmax, ncom)
+        accept = cvalid & disjoint & (s2 < d2 * jnp.float32(theta * theta))
+        both_sep = None
+        if multipole == 2:
+            # The force kernel's ‖d‖₁ factor kinks at dx=0 / dy=0, so the
+            # quadrupole expansion is only trustworthy when the node is
+            # strictly separated from the group in BOTH axes (no member pair
+            # can straddle a kink). Axis-straddling nodes instead face a
+            # 2×-tightened θ and keep monopole-only treatment — measured
+            # (tests/test_traversal.py) this cuts median θ=0.5 error ~20×
+            # over monopole for ~10% more opened nodes.
+            sep_x = ((gmax[..., 0] <= nmin[..., 0])
+                     | (gmin[..., 0] >= nmax[..., 0]))
+            sep_y = ((gmax[..., 1] <= nmin[..., 1])
+                     | (gmin[..., 1] >= nmax[..., 1]))
+            both_sep = sep_x & sep_y
+            tight = (cvalid & disjoint
+                     & (s2 < d2 * jnp.float32(theta * theta * 0.25)))
+            accept = (accept & both_sep) | tight
+        opened = cvalid & ~accept & nonempty
+
+        # CLOSEST-FIRST compaction: order candidates by group→node distance
+        # so capacity overflow always falls back to COM on the FARTHEST
+        # opened nodes, where that approximation is benign. Without this,
+        # overflow COM'd whichever opened nodes came last in Morton order —
+        # at N=65k/θ=0.5 that put coarse COMs right next to dense cores and
+        # cost a 1e-3→5e-2 median-error cliff once tree depth outgrew the
+        # frontier cap. Skipped when the list can hold every candidate
+        # (overflow impossible → order irrelevant).
+        if cap < cand.shape[1]:
+            perm = jnp.argsort(jnp.where(opened, d2, BIG), axis=1)
+            take = lambda a: jnp.take_along_axis(a, perm, axis=1)
+            cand, opened, accept = take(cand), take(opened), take(accept)
+            rec = jnp.take_along_axis(rec, perm[..., None], axis=1)
+        else:
+            take = lambda a: a
+
+        new_list, new_valid, overflow = _compact(opened, cand, cap)
+        use_com = accept | overflow  # overflow → COM fallback, never dropped
+
+        cols = [rec[..., 4], rec[..., 5],
+                jnp.where(use_com, rec[..., 6], 0.0)]
+        if multipole == 2:
+            # Quadrupole ONLY for θ-accepted nodes. Overflow-fallback nodes
+            # are CLOSE (they failed acceptance): the expansion is invalid
+            # there and the b³ Hessian terms blow up — measured a 0.05
+            # median error at N=65k Plummer (dense core → leaf_cap overflow)
+            # before this mask; they keep the plain COM monopole instead.
+            use_q = accept & take(both_sep)
+            for k in range(3):
+                cols.append(jnp.where(use_q, rec[..., 8 + k], 0.0))
+        return new_list, new_valid, tuple(cols)
+
+    def packed_of(level):
+        return level.packed_quad if multipole == 2 else level.packed
+
+    ncols = 6 if multipole == 2 else 3
+    src_cols = [[] for _ in range(ncols)]
     width = 1 << k0
     frontier = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
                                 (g_rows, width))
@@ -156,33 +311,49 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
     leaf_ids = jnp.zeros((g_rows, 1), jnp.int32)
     leaf_valid = jnp.ones((g_rows, 1), dtype=bool)
 
-    lvl = k0
-    while lvl < depth:
-        step = 2 if (arity == 4 and lvl + 2 <= depth) else 1
-        fan = 1 << step
-        child_lv = tree.levels[lvl + step]
-        cand = jnp.concatenate([frontier * fan + i for i in range(fan)],
-                               axis=1)                          # (G, fan*F)
-        cvalid = jnp.concatenate([valid] * fan, axis=1)
-        rec = child_lv.packed[cand]                             # ONE gather
-        nmin = rec[..., 0:2]
-        nmax = rec[..., 2:4]
-        ncom = rec[..., 4:6]
-        nmassf = rec[..., 6]
-        nonempty = rec[..., 7] > 0
-        accept = cvalid & _accept_group(gmin, gmax, nmin, nmax, ncom, theta)
-        opened = cvalid & ~accept & nonempty
+    interior = depth - 1 - k0   # levels walked with frontier compaction
+    if arity == 2 and interior >= 2:
+        # One scan iteration per interior level: stack the (width-padded)
+        # child records so the traced graph is depth-independent.
+        wmax = 1 << (depth - 1)
+        stacked = jnp.stack([
+            jnp.pad(packed_of(tree.levels[l]),
+                    ((0, wmax - (1 << l)), (0, 0)))
+            for l in range(k0 + 1, depth)])
 
-        if lvl + step < depth:
-            frontier, valid, overflow = _compact(opened, cand, F)
-        else:
-            leaf_ids, leaf_valid, overflow = _compact(opened, cand, leaf_cap)
-        use_com = accept | overflow  # overflow → COM fallback, never dropped
+        def scan_body(carry, packed_child):
+            frontier, valid = carry
+            frontier, valid, cols = level_body(packed_child, frontier,
+                                               valid, 2, F)
+            return (frontier, valid), cols
 
-        src_x.append(ncom[..., 0])
-        src_y.append(ncom[..., 1])
-        src_m.append(jnp.where(use_com, nmassf, 0.0))
-        lvl += step
+        (frontier, valid), col_stacks = jax.lax.scan(
+            scan_body, (frontier, valid), stacked)
+        for k in range(ncols):
+            # (T, G, 2F) → (G, T·2F)
+            src_cols[k].append(
+                col_stacks[k].transpose(1, 0, 2).reshape(g_rows, -1))
+        leaf_ids, leaf_valid, leaf_cols = level_body(
+            packed_of(tree.levels[depth]), frontier, valid, 2, leaf_cap)
+        for k in range(ncols):
+            src_cols[k].append(leaf_cols[k])
+    else:
+        lvl = k0
+        while lvl < depth:
+            step = 2 if (arity == 4 and lvl + 2 <= depth) else 1
+            last = lvl + step >= depth
+            out_list, out_valid, cols = level_body(
+                packed_of(tree.levels[lvl + step]), frontier, valid,
+                1 << step, leaf_cap if last else F)
+            if last:
+                leaf_ids, leaf_valid = out_list, out_valid
+            else:
+                frontier, valid = out_list, out_valid
+            for k in range(ncols):
+                src_cols[k].append(cols[k])
+            lvl += step
+    src_x, src_y, src_m = src_cols[0], src_cols[1], src_cols[2]
+    src_q = src_cols[3:]
 
     # Leaf tiles: gather (G', L, S) particle data; invalid slots masked.
     lp = tree.leaf_pos[leaf_ids]                        # (G', L, S, 2)
@@ -191,36 +362,48 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
     src_x.append(lp[..., 0].reshape(g_rows, L * S))
     src_y.append(lp[..., 1].reshape(g_rows, L * S))
     src_m.append(lm.reshape(g_rows, L * S))
-
-    return (jnp.concatenate(src_x, axis=1),
-            jnp.concatenate(src_y, axis=1),
-            jnp.concatenate(src_m, axis=1))
+    out = (jnp.concatenate(src_x, axis=1),
+           jnp.concatenate(src_y, axis=1),
+           jnp.concatenate(src_m, axis=1))
+    if multipole == 2:
+        z = jnp.zeros((g_rows, L * S), jnp.float32)  # particles: Q = 0
+        out = out + tuple(
+            jnp.concatenate(src_q[k] + [z], axis=1) for k in range(3))
+    return out
 
 
 def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
                    softening2: float, rcp: str, interpret: bool,
-                   tile_j: int = 4096) -> jax.Array:
-    """Targets (G, S, 2) vs per-group sources (G, C) → accel (G, S, 2)."""
+                   tile_j: int = 4096, src_q=None) -> jax.Array:
+    """Targets (G, S, 2) vs per-group sources (G, C) → accel (G, S, 2).
+
+    ``src_q``: optional (qxx, qxy, qyy) arrays of (G, C) — switches the
+    sweep to the monopole+quadrupole kernel (_quad_kernel).
+    """
     if interpret:
         rcp = "exact"  # pl.reciprocal(approx) has no interpreter lowering
     g, s, _ = tgt_pos.shape
     c = src_x.shape[1]
+    srcs = [src_x, src_y, src_m] + (list(src_q) if src_q is not None else [])
     # Pick a lane-aligned j tile, then pad C to a multiple of it with inert
     # (zero-mass) sources. The (s, tj) tile area is capped at ~1M f32
     # elements (Mosaic keeps ~3 full-tile temporaries live; 3x4 MB fits the
-    # 16 MB scoped-VMEM budget), and tj is chosen to minimize padding waste.
+    # 16 MB scoped-VMEM budget — the quad kernel carries more temporaries,
+    # so its cap is halved), and tj is chosen to minimize padding waste.
     def ceil_to(x, m):
         return -(-x // m) * m
 
-    tile_cap = min(tile_j, max(128, ((1 << 20) // s) // 128 * 128))
+    # The quad kernel keeps ~20 tile-sized temporaries live (a/b powers,
+    # g-derivatives, Hessian pieces); 2^17 f32 × ~20 × 4B ≈ 10 MB fits the
+    # 16 MB scoped-VMEM budget. The monopole kernel carries ~6 and gets 2^20.
+    area = (1 << 17) if src_q is not None else (1 << 20)
+    tile_cap = min(tile_j, max(128, (area // s) // 128 * 128))
     n_tiles = max(1, -(-c // tile_cap))
     tj = ceil_to(-(-c // n_tiles), 128)
     target_c = n_tiles * tj
     if target_c != c:
         z = jnp.zeros((g, target_c - c), jnp.float32)
-        src_x = jnp.concatenate([src_x, z], 1)
-        src_y = jnp.concatenate([src_y, z], 1)
-        src_m = jnp.concatenate([src_m, z], 1)
+        srcs = [jnp.concatenate([a, z], 1) for a in srcs]
         c = target_c
 
     x_col = tgt_pos[..., 0].reshape(g * s, 1)
@@ -229,27 +412,20 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
     # divide 8 or equal the array dim, so per-group rows can't be blocked as
     # (1, tj) out of (G, C) — but in a flat row, group g's tile j is simply
     # block g*(C/tj)+j.
-    src_x = src_x.reshape(1, g * c)
-    src_y = src_y.reshape(1, g * c)
-    src_m = src_m.reshape(1, g * c)
+    srcs = [a.reshape(1, g * c) for a in srcs]
     jt = c // tj  # j-tiles per group
-    kernel = functools.partial(_allpairs_kernel, softening2=softening2,
-                               rcp=rcp)
+    kfn = _allpairs_kernel if src_q is None else _quad_kernel
+    kernel = functools.partial(kfn, softening2=softening2, rcp=rcp)
     grid = (g, jt)
+    tgt_spec = pl.BlockSpec((s, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    src_spec = pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j),
+                            memory_space=pltpu.VMEM)
     ax, ay = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[tgt_spec, tgt_spec] + [src_spec] * len(srcs),
+        out_specs=[tgt_spec, tgt_spec],
         out_shape=[
             jax.ShapeDtypeStruct((g * s, 1), jnp.float32),
             jax.ShapeDtypeStruct((g * s, 1), jnp.float32),
@@ -258,21 +434,24 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_col, y_col, src_x, src_y, src_m)
+    )(x_col, y_col, *srcs)
     return jnp.concatenate([ax, ay], 1).reshape(g, s, 2)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("theta", "softening2", "frontier_cap",
                                     "leaf_cap", "interpret", "arity",
-                                    "plan_leaves"))
+                                    "plan_leaves", "multipole"))
 def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
                     softening2: float = 1e-3, frontier_cap: int = 32,
                     leaf_cap: int = 16, interpret: bool = False,
-                    arity: int = 2, plan_leaves: int = 1) -> jax.Array:
+                    arity: int = 2, plan_leaves: int = 1,
+                    multipole: int = 1) -> jax.Array:
     """Accelerations for all (sorted, padded) particles in the tree.
 
-    Returns f32[n_leaves*leaf_size, 2] in sorted order.
+    Returns f32[n_leaves*leaf_size, 2] in sorted order. ``multipole=2``
+    adds the quadrupole correction for accepted nodes (≈10-100× lower
+    acceptance error at physics-quality θ, ~2× sweep flops).
     """
     if jax.default_backend() == "cpu":
         interpret = True
@@ -280,35 +459,54 @@ def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
     pl_ = max(1, min(plan_leaves, n_leaves))
     while n_leaves % pl_:
         pl_ //= 2
-    src_x, src_y, src_m = bh_plan_sources(tree, theta, frontier_cap,
-                                          leaf_cap, arity=arity,
-                                          plan_leaves=pl_)
+    planned = bh_plan_sources(tree, theta, frontier_cap,
+                              leaf_cap, arity=arity, plan_leaves=pl_,
+                              multipole=multipole)
+    src_x, src_y, src_m = planned[:3]
+    src_q = planned[3:] if multipole == 2 else None
     tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
     acc = _grouped_force(tgt, src_x, src_y, src_m,
                          softening2=softening2, rcp="newton",
-                         interpret=interpret)
+                         interpret=interpret, src_q=src_q)
     return acc.reshape(n_leaves * S, 2)
 
 
 def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
              softening2: float = 1e-3, leaf_size: int = 64,
              world_size: float = 100_000.0, unweighted_leaf_com: bool = True,
-             frontier_cap: int = 32, leaf_cap: int = 16, arity: int = 2,
-             plan_leaves: int = 1,
+             frontier_cap: int | None = None, leaf_cap: int | None = None,
+             arity: int = 2,
+             plan_leaves: int = 1, morton_bits: int | None = None,
+             multipole: int | None = None,
              group_chunk: int | None = None) -> jax.Array:
     """Full Barnes-Hut acceleration: sort + build + plan + sweep + unsort.
 
     Returns accelerations in the ORIGINAL particle order. ``group_chunk`` is
     accepted for API compatibility and ignored (the planning pass is cheap
-    enough to run unchunked).
+    enough to run unchunked). ``morton_bits=None``/``multipole=None``/cap
+    ``None`` resolve from θ exactly like SimConfig: (15 bits, monopole,
+    small caps) for the reference's θ>=2 regime, (24 bits, quadrupole, big
+    caps) for physics-quality θ<2 — an under-capped θ=0.5 walk silently
+    costs ~100× in force error (it was the round-1 config-2 miss).
     """
     n = pos.shape[0]
+    if morton_bits is None:
+        morton_bits = 15 if theta >= 2.0 else 24
+    if multipole is None:
+        multipole = 1 if theta >= 2.0 else 2
+    pl_ = max(1, plan_leaves)
+    if frontier_cap is None:
+        frontier_cap = 16 if theta >= 2.0 else 256
+    if leaf_cap is None:
+        leaf_cap = max(8, 4 * pl_) if theta >= 2.0 else max(256, 32 * pl_)
     tree, order = build_tree(pos, mass, leaf_size=leaf_size,
                              world_size=world_size,
-                             unweighted_leaf_com=unweighted_leaf_com)
+                             unweighted_leaf_com=unweighted_leaf_com,
+                             morton_bits=morton_bits)
     acc_sorted = bh_accel_sorted(tree, theta=theta, softening2=softening2,
                                  frontier_cap=frontier_cap, leaf_cap=leaf_cap,
-                                 arity=arity, plan_leaves=plan_leaves)
+                                 arity=arity, plan_leaves=plan_leaves,
+                                 multipole=multipole)
     return jnp.zeros((n, 2), jnp.float32).at[order].set(acc_sorted[:n])
 
 
@@ -320,4 +518,6 @@ def bh_accel_fn(config):
         unweighted_leaf_com=config.unweighted_leaf_com,
         frontier_cap=config.resolved_caps()[0],
         leaf_cap=config.resolved_caps()[1],
-        arity=config.tree_arity, plan_leaves=config.plan_leaves)
+        arity=config.tree_arity, plan_leaves=config.plan_leaves,
+        morton_bits=config.resolved_morton_bits(),
+        multipole=config.resolved_multipole())

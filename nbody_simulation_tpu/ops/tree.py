@@ -48,6 +48,12 @@ class Level(NamedTuple):
     com: jax.Array        # (2^l, 2)
     mass_i: jax.Array     # (2^l,) int32 — exact integer mass sum
     count: jax.Array      # (2^l,) int32 — real (non-padding) members
+    quad: jax.Array       # (2^l, 3) f32 — mass-weighted second moments about
+    #                       the stored COM: Σ m·(δxδx, δxδy, δyδy). Feeds the
+    #                       optional quadrupole force correction (a capability
+    #                       beyond the reference, needed for <1e-3 force error
+    #                       at physics-quality θ — the monopole acceptance
+    #                       error at θ=0.5 is inherently ~1.6e-3).
 
     @property
     def packed(self) -> jax.Array:
@@ -57,6 +63,13 @@ class Level(NamedTuple):
             self.aabb_min, self.aabb_max, self.com,
             self.mass_i.astype(jnp.float32)[:, None],
             self.count.astype(jnp.float32)[:, None]], axis=1)
+
+    @property
+    def packed_quad(self) -> jax.Array:
+        """(2^l, 11) f32 record: ``packed`` + [qxx, qxy, qyy] for the
+        quadrupole sweep. A separate property so monopole walks never pay
+        for gathering the moment columns."""
+        return jnp.concatenate([self.packed, self.quad], axis=1)
 
 
 class FlatTree(NamedTuple):
@@ -89,12 +102,19 @@ def _leaf_level(pos3, mass2, unweighted_leaf_com: bool) -> Level:
         den = jnp.maximum(w.sum(axis=1), jnp.float32(1e-30))[:, None]
     com = num / den
     empty = (count == 0)[:, None]
+    # Second moments about the stored COM (whatever its convention).
+    w = jnp.where(real, mass2, 0.0)
+    d = pos3 - com[:, None, :]
+    qxx = (w * d[..., 0] * d[..., 0]).sum(axis=1)
+    qxy = (w * d[..., 0] * d[..., 1]).sum(axis=1)
+    qyy = (w * d[..., 1] * d[..., 1]).sum(axis=1)
     return Level(
         aabb_min=jnp.where(empty, EMPTY_POS, aabb_min),
         aabb_max=jnp.where(empty, EMPTY_POS, aabb_max),
         com=jnp.where(empty, EMPTY_POS, com),
         mass_i=mass_i,
         count=count,
+        quad=jnp.where(empty, 0.0, jnp.stack([qxx, qxy, qyy], axis=1)),
     )
 
 
@@ -108,12 +128,19 @@ def _combine(child: Level) -> Level:
 
     cmin, cmax = pair(child.aabb_min), pair(child.aabb_max)
     ccom, cmass, ccount = pair(child.com), pair(child.mass_i), pair(child.count)
+    cquad = pair(child.quad)
     count = ccount.sum(axis=1)
     mass_i = cmass.sum(axis=1)
     massf = cmass.astype(jnp.float32)
     num = (ccom * massf[..., None]).sum(axis=1)
     den = jnp.maximum(mass_i.astype(jnp.float32), jnp.float32(1.0))[:, None]
     com = num / den
+    # Parallel-axis combine: Q_p = Σ_c Q_c + m_c·(com_c − com_p)⊗(com_c − com_p).
+    # Empty children contribute 0 (zero mass, zero Q).
+    d = ccom - com[:, None, :]
+    shift = jnp.stack([d[..., 0] * d[..., 0], d[..., 0] * d[..., 1],
+                       d[..., 1] * d[..., 1]], axis=-1)
+    quad = (cquad + massf[..., None] * shift).sum(axis=1)
     # Empty children sit at EMPTY_POS with zero size; min/max over them would
     # inflate the parent AABB toward EMPTY_POS, so mask them out.
     cempty = (ccount == 0)[..., None]
@@ -126,6 +153,7 @@ def _combine(child: Level) -> Level:
         com=jnp.where(empty, EMPTY_POS, com),
         mass_i=mass_i,
         count=count,
+        quad=jnp.where(empty, 0.0, quad),
     )
 
 
@@ -166,10 +194,11 @@ def summarize_sorted(spos: jax.Array, smass: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "world_size",
-                                             "unweighted_leaf_com"))
+                                             "unweighted_leaf_com",
+                                             "morton_bits"))
 def build_tree(pos: jax.Array, mass: jax.Array,
                leaf_size: int = 64, world_size: float = 100_000.0,
-               unweighted_leaf_com: bool = True):
+               unweighted_leaf_com: bool = True, morton_bits: int = 15):
     """Morton-sort the particles and build the flat BVH.
 
     Returns ``(tree, order)`` where ``order`` is the applied permutation
@@ -177,7 +206,7 @@ def build_tree(pos: jax.Array, mass: jax.Array,
     (src/bvh_tree.rs:74-76), the sorted order becomes the particle order for
     the remainder of the step.
     """
-    order = morton_order(pos, mass, world_size)
+    order = morton_order(pos, mass, world_size, bits=morton_bits)
     tree = summarize_sorted(pos[order], mass[order], leaf_size=leaf_size,
                             unweighted_leaf_com=unweighted_leaf_com)
     return tree, order

@@ -50,7 +50,8 @@ def bh_sharded_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
         pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)    # (N, 2)
         mass_all = jax.lax.all_gather(mass_l, axis, tiled=True)  # (N,)
         n = pos_all.shape[0]
-        order = morton_order(pos_all, mass_all, cfg.world_size)
+        order = morton_order(pos_all, mass_all, cfg.world_size,
+                             bits=cfg.resolved_morton_bits())
         tree = summarize_sorted(pos_all[order], mass_all[order],
                                 leaf_size=cfg.leaf_size,
                                 unweighted_leaf_com=cfg.unweighted_leaf_com)
@@ -62,13 +63,16 @@ def bh_sharded_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, leaf0, my_leaves, 0)
         lv = tree.levels[-1]
         own = Level(aabb_min=sl(lv.aabb_min), aabb_max=sl(lv.aabb_max),
-                    com=sl(lv.com), mass_i=sl(lv.mass_i), count=sl(lv.count))
-        src_x, src_y, src_m = plan_rows(tree, own, cfg.theta,
-                                        fcap, lcap, cfg.tree_arity)
+                    com=sl(lv.com), mass_i=sl(lv.mass_i), count=sl(lv.count),
+                    quad=sl(lv.quad))
+        mp = cfg.resolved_multipole()
+        planned = plan_rows(tree, own, cfg.theta,
+                            fcap, lcap, cfg.tree_arity, multipole=mp)
         acc_slice = _grouped_force(
-            sl(tree.leaf_pos), src_x, src_y, src_m,
+            sl(tree.leaf_pos), *planned[:3],
             softening2=cfg.softening2, rcp=cfg.rcp,
-            interpret=interpret).reshape(my_leaves * S, 2)
+            interpret=interpret,
+            src_q=planned[3:] if mp == 2 else None).reshape(my_leaves * S, 2)
 
         acc_sorted = jax.lax.all_gather(acc_slice, axis, tiled=True)
         acc_orig = (jnp.zeros((n, 2), jnp.float32)

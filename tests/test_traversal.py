@@ -131,7 +131,7 @@ def test_auto_caps_by_theta():
     from nbody_simulation_tpu.config import SimConfig
     assert SimConfig(theta=50.0, plan_leaves=1).resolved_caps() == (16, 8)
     assert SimConfig(theta=50.0, plan_leaves=8).resolved_caps() == (16, 32)
-    assert SimConfig(theta=0.5, plan_leaves=1).resolved_caps() == (128, 256)
+    assert SimConfig(theta=0.5, plan_leaves=1).resolved_caps() == (256, 256)
     assert SimConfig(theta=0.5, frontier_cap=32).resolved_caps()[0] == 32
 
 
@@ -151,6 +151,119 @@ def test_plan_leaves_quality_at_theta_half():
                               unweighted_leaf_com=False))
     e = rel_err(got, want)
     assert np.percentile(e, 99) < 2e-3, np.percentile(e, 99)
+
+
+def test_source_mass_conservation():
+    """Every particle's mass must appear exactly once in every group's
+    source list — as an accepted node, an overflow-COM fallback, or a leaf
+    tile. Catches any dropped-force planner bug at any caps/θ/multipole."""
+    from nbody_simulation_tpu.ops.tree import build_tree
+    from nbody_simulation_tpu.ops.traversal import bh_plan_sources
+    pos, mass = cloud(4096)
+    total = float(np.asarray(mass).sum())
+    tree, _ = build_tree(pos, mass, unweighted_leaf_com=False)
+    for theta, F, L, mp in [(0.5, 128, 256, 2), (0.5, 16, 8, 1),
+                            (50.0, 16, 8, 1), (0.0, 64, 64, 2)]:
+        planned = bh_plan_sources(tree, theta, F, L, plan_leaves=1,
+                                  multipole=mp)
+        tm = np.asarray(planned[2], np.float64).sum(axis=1)
+        np.testing.assert_allclose(tm, total, rtol=1e-6,
+                                   err_msg=f"theta={theta} F={F} L={L}")
+
+
+# --- quadrupole path --------------------------------------------------------
+
+def test_quad_kernel_hessian_matches_autodiff():
+    """The closed-form Hessian of f(d)=d/(‖d‖₁·‖d‖₂²) used by _quad_kernel
+    must equal jax.hessian away from the |dx|/|dy| kinks."""
+    import jax
+
+    def f(d):
+        l = jnp.abs(d[0]) + jnp.abs(d[1])
+        s = d[0] ** 2 + d[1] ** 2
+        return d / (l * s)
+
+    def closed(dx, dy):
+        sx, sy = np.sign(dx), np.sign(dy)
+        l = abs(dx) + abs(dy)
+        s = dx * dx + dy * dy
+        a, b = 1 / l, 1 / s
+        gx = -(sx * a * a * b + 2 * dx * a * b * b)
+        gy = -(sy * a * a * b + 2 * dy * a * b * b)
+        gxx = 2 * a**3 * b + 4 * abs(dx) * a * a * b * b - 2 * a * b * b \
+            + 8 * dx * dx * a * b**3
+        gyy = 2 * a**3 * b + 4 * abs(dy) * a * a * b * b - 2 * a * b * b \
+            + 8 * dy * dy * a * b**3
+        gxy = 2 * sx * sy * a**3 * b + 2 * (sx * dy + sy * dx) * a * a * b * b \
+            + 8 * dx * dy * a * b**3
+        Hx = np.array([[2 * gx + dx * gxx, gy + dx * gxy],
+                       [gy + dx * gxy, dx * gyy]])
+        Hy = np.array([[dy * gxx, gx + dy * gxy],
+                       [gx + dy * gxy, 2 * gy + dy * gyy]])
+        return Hx, Hy
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        d = rng.uniform(1.0, 10.0, 2) * rng.choice([-1.0, 1.0], 2)
+        H = jax.hessian(f)(jnp.asarray(d, jnp.float32))
+        Hx, Hy = closed(float(d[0]), float(d[1]))
+        np.testing.assert_allclose(np.asarray(H[0]), Hx, rtol=2e-4, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(H[1]), Hy, rtol=2e-4, atol=1e-9)
+
+
+def test_tree_quadrupole_moments():
+    """Root-level second moments must equal the direct mass-weighted moment
+    sum about the root COM (parallel-axis combination)."""
+    from nbody_simulation_tpu.ops.tree import build_tree
+    pos, mass = cloud(1000, heavy=False)
+    tree, _ = build_tree(pos, mass, unweighted_leaf_com=False)
+    root = tree.levels[0]
+    p, m = np.asarray(pos, np.float64), np.asarray(mass, np.float64)
+    com = (p * m[:, None]).sum(0) / m.sum()
+    d = p - com
+    want = np.array([(m * d[:, 0] * d[:, 0]).sum(),
+                     (m * d[:, 0] * d[:, 1]).sum(),
+                     (m * d[:, 1] * d[:, 1]).sum()])
+    got = np.asarray(root.quad[0], np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_quadrupole_beats_monopole_at_theta_half():
+    """The <1e-3 force-error north star (BASELINE.md): multipole=2 must be
+    well under it and strictly better than monopole on a clustered cloud."""
+    from nbody_simulation_tpu.models.scenarios import plummer
+    st = plummer(4096, seed=0)
+    pos, mass = jnp.asarray(st.pos), jnp.asarray(st.mass)
+    want = np.asarray(direct_accel(pos, mass))
+    errs = {}
+    for mp in (1, 2):
+        got = np.asarray(bh_accel(pos, mass, theta=0.5, frontier_cap=128,
+                                  leaf_cap=128, unweighted_leaf_com=False,
+                                  multipole=mp))
+        errs[mp] = rel_err(got, want)
+    assert np.median(errs[2]) < 1e-3, np.median(errs[2])
+    assert np.median(errs[2]) < 0.5 * np.median(errs[1])
+
+
+def test_quadrupole_exact_at_theta0():
+    # θ=0 never accepts a node, so the quad path must reduce to direct sum.
+    pos, mass = cloud(1024)
+    want = np.asarray(direct_accel(pos, mass))
+    got = np.asarray(bh_accel(pos, mass, theta=0.0, frontier_cap=64,
+                              leaf_cap=32, multipole=2))
+    assert rel_err(got, want).max() < 1e-4
+
+
+def test_deep_morton_keys_order_and_tree():
+    """24-bit (two-word) keys must produce a valid Z-order: same multiset of
+    particles, padding last, and a tree that still sums mass exactly."""
+    from nbody_simulation_tpu.ops.morton import morton_order, morton_keys
+    pos, mass = cloud(1500, heavy=False)
+    order = np.asarray(morton_order(pos, mass, 100_000.0, bits=24))
+    assert sorted(order.tolist()) == list(range(1500))
+    hi, lo = morton_keys(pos, mass, 100_000.0, 24)
+    k = (np.asarray(hi, np.int64)[order] << 24) | np.asarray(lo, np.int64)[order]
+    assert (np.diff(k) >= 0).all()  # sorted by the combined 48-bit key
 
 
 def test_leaf_size_variants_exact_at_theta0():

@@ -16,11 +16,15 @@ def cloud(rng, n):
 
 
 def test_value_matches_nondiff_bh(rng):
+    # The diff path is monopole over 15-bit keys; pin the non-diff walk to
+    # that configuration (at θ<2 it otherwise auto-upgrades to quadrupole
+    # + 24-bit keys, a deliberately different — finer — approximation).
     pos, mass = cloud(rng, 1024)
     a = np.asarray(bh_accel_diff(pos, mass, theta=0.5, frontier_cap=64,
                                  leaf_cap=32, unweighted_leaf_com=False))
     b = np.asarray(bh_accel(pos, mass, theta=0.5, frontier_cap=64,
-                            leaf_cap=32, unweighted_leaf_com=False))
+                            leaf_cap=32, unweighted_leaf_com=False,
+                            multipole=1, morton_bits=15))
     np.testing.assert_array_equal(a, b)
 
 
