@@ -75,16 +75,16 @@ def config2():
     from nbody_simulation_tpu.ops.force import direct_accel
     from nbody_simulation_tpu.ops.traversal import bh_accel
 
-    # NOTE on the error floor: at 65k the Plummer core packs many particles
-    # into single 3-unit Morton cells, so their leaf AABBs overlap fully and
-    # the walk degrades to COM fallback there (a θ-style approximation).
-    # Median error ~2-4% reflects that regime, not the far field.
+    # Quality path: bh_accel auto-resolves θ=0.5 to 24-bit Morton keys (the
+    # Plummer core keeps subdividing instead of collapsing into 3-unit cells)
+    # and quadrupole node moments (monopole acceptance error at θ=0.5 is
+    # inherently ~1.6e-3; the quadrupole correction lands ~1e-4 median —
+    # under the <1e-3 BASELINE north star).
     st = plummer(65_536, seed=0)
     # Force error at t=0 vs direct sum (physics-quality COMs).
     want = np.asarray(direct_accel(st.pos, st.mass, row_chunk=4096))
     got = np.asarray(bh_accel(st.pos, st.mass, theta=0.5,
-                              unweighted_leaf_com=False,
-                              frontier_cap=128, leaf_cap=256))
+                              unweighted_leaf_com=False))
     rel = (np.linalg.norm(got - want, axis=1)
            / np.maximum(np.linalg.norm(want, axis=1), 1e-12))
     emit(2, "BH theta=0.5 force rel err (median)", float(np.median(rel)), "")
@@ -131,21 +131,75 @@ def config5():
     from nbody_simulation_tpu.parallel import (make_1d_mesh, shard_state,
                                                make_sharded_step)
     n_dev = len(jax.devices())
-    if n_dev < 2:
-        emit(5, "ring all-pairs (needs multi-chip; see dryrun_multichip)",
-             0, "skipped", devices=n_dev)
+    if n_dev >= 2:
+        mesh = make_1d_mesh(n_dev)
+        st = shard_state(uniform_disc(n_dev * 2048, seed=0), mesh)
+        step = make_sharded_step(mesh, SimConfig(), tile_i=512, tile_j=2048)
+        st = step(st); sync(st)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            st = step(st)
+        sync(st)
+        dt = (time.perf_counter() - t0) / 5
+        emit(5, f"ring all-pairs N={n_dev*2048} on {n_dev} devices", 1 / dt,
+             "steps/s")
         return
-    mesh = make_1d_mesh(n_dev)
-    st = shard_state(uniform_disc(n_dev * 2048, seed=0), mesh)
-    step = make_sharded_step(mesh, SimConfig(), tile_i=512, tile_j=2048)
+    # Single-chip proxy for the v5e-16 flagship (N=16.7M distributed BH):
+    # measure (a) the full distributed-BH step on a 1-device mesh at the
+    # per-shard size L = N/16 — exactly the local stage (sort + subtree +
+    # plan + sweep + integrate) every chip runs — and (b) one remote-stage
+    # plan+sweep at near caps and at far caps. Projection for P chips:
+    # t_step ≈ t_local + 2·t_near + (P−3)·t_far, assuming ppermute overlaps
+    # compute (ring.py measured behavior for the all-pairs path).
+    from nbody_simulation_tpu.parallel import (distribute_state,
+                                               make_distributed_bh_step)
+    from nbody_simulation_tpu.ops.tree import summarize_sorted
+    from nbody_simulation_tpu.ops.traversal import _grouped_force, plan_rows
+
+    P, N = 16, 16_777_216
+    L = N // P
+    cfg = SimConfig(force_path="bh")   # flagship regime: θ=50
+    mesh = make_1d_mesh(1)
+    st = distribute_state(uniform_disc(L, seed=0), mesh, cfg)
+    step = make_distributed_bh_step(mesh, cfg)
     st = step(st); sync(st)
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(10):
         st = step(st)
     sync(st)
-    dt = (time.perf_counter() - t0) / 5
-    emit(5, f"ring all-pairs N={n_dev*2048} on {n_dev} devices", 1 / dt,
-         "steps/s")
+    t_local = (time.perf_counter() - t0) / 10
+
+    tree = summarize_sorted(st.pos, st.mass, leaf_size=cfg.leaf_size,
+                            unweighted_leaf_com=cfg.unweighted_leaf_com)
+    n_leaves, S, _ = tree.leaf_pos.shape
+    pl = max(1, cfg.plan_leaves)
+    own = tree.levels[tree.depth - (pl.bit_length() - 1)]
+    tgt = tree.leaf_pos.reshape(n_leaves // pl, pl * S, 2)
+    mp = cfg.resolved_multipole()
+
+    def stage_time(fcap, lcap):
+        import functools
+        @functools.partial(jax.jit, static_argnames=("f", "l"))
+        def stage(tr, f=fcap, l=lcap):
+            planned = plan_rows(tr, own, cfg.theta, f, l, cfg.tree_arity,
+                                multipole=mp)
+            return _grouped_force(tgt, *planned[:3],
+                                  softening2=cfg.softening2, rcp=cfg.rcp,
+                                  interpret=False,
+                                  src_q=planned[3:] if mp == 2 else None)
+        sync(stage(tree))
+        t0 = time.perf_counter()
+        sync(stage(tree))
+        return time.perf_counter() - t0
+
+    from nbody_simulation_tpu.parallel.bh_distributed import _stage_caps
+    t_near = stage_time(*_stage_caps(cfg, 1, P))
+    t_far = stage_time(*_stage_caps(cfg, P // 2, P))
+    t_step = t_local + 2 * t_near + (P - 3) * t_far
+    emit(5, f"distributed-BH projected steps/s @N={N} on v5e-{P} "
+            "(single-chip per-shard proxy)", 1 / t_step, "steps/s",
+         t_local_ms=round(t_local * 1e3, 2), t_near_ms=round(t_near * 1e3, 2),
+         t_far_ms=round(t_far * 1e3, 2), shard=L)
 
 
 def main():
