@@ -112,6 +112,36 @@ class Engine:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._error: BaseException | None = None
+        # Interactive controls (the reference window's input handling,
+        # src/main.rs:168-182, headless-style): pause/resume/single-step and
+        # live re-configuration, all applied by the PRODUCER thread at batch
+        # boundaries so the donated device state is never touched cross-thread.
+        self._paused = threading.Event()
+        self._step_once = threading.Event()
+        self._pending_cfg: dict = {}
+        self._cfg_lock = threading.Lock()
+
+    # -- interactive control ----------------------------------------------------
+    def pause(self) -> None:
+        self._paused.set()
+
+    def resume(self) -> None:
+        self._paused.clear()
+
+    @property
+    def paused(self) -> bool:
+        return self._paused.is_set()
+
+    def step_once(self) -> None:
+        """While paused: run exactly one snapshot batch."""
+        self._step_once.set()
+
+    def reconfigure(self, **changes) -> None:
+        """Queue SimConfig changes (theta, dt, ...) for the next batch
+        boundary. New jit closures compile on first use (persistent cache
+        makes repeats cheap)."""
+        with self._cfg_lock:
+            self._pending_cfg.update(changes)
 
     # -- producer -------------------------------------------------------------
     def _render_snapshot(self) -> bytes:
@@ -148,6 +178,21 @@ class Engine:
             while not self._stop.is_set():
                 if max_steps is not None and self.world.updates >= max_steps:
                     break
+                with self._cfg_lock:
+                    pending, self._pending_cfg = self._pending_cfg, {}
+                if pending:
+                    self.world.reconfigure(**pending)
+                if self._paused.is_set() and not self._step_once.is_set():
+                    # Paused: keep serving the current frame, burn no steps.
+                    now = time.monotonic()
+                    if (not self.queue.is_full()
+                            and now - self._last_snap_t >= max(
+                                self.snapshot_interval, 0.1)):
+                        self.queue.try_push(self._render_snapshot())
+                        self._last_snap_t = now
+                    self._stop.wait(0.05)
+                    continue
+                self._step_once.clear()
                 batch = self.steps_per_snapshot
                 if max_steps is not None:
                     batch = min(batch, max_steps - self.world.updates)

@@ -1,12 +1,20 @@
 """Live browser viewer — the headless equivalent of the reference's window.
 
-The reference opens a 1250x1250 winit window and presents every popped
-snapshot (reference src/main.rs:83-99, :145-162). In a headless TPU
+The reference opens a 1250x1250 winit window, presents every popped snapshot,
+and handles input: Escape/close quits, resize is handled
+(reference src/main.rs:83-99, :145-162, :168-182). In a headless TPU
 deployment the interactive surface is a browser: a stdlib HTTP server serves
 
-- ``/``           an auto-refreshing HTML page with the frame and telemetry
-- ``/frame.png``  the latest framebuffer as PNG
+- ``/``           the viewer page: live stream, telemetry, controls
+- ``/stream``     multipart/x-mixed-replace PNG stream — frames are PUSHED
+                  the moment the consumer pops them (no polling; fps is
+                  bounded by the engine, not the poll rate)
+- ``/frame.png``  the latest framebuffer as PNG (poll fallback)
 - ``/stats``      JSON: step, fps, ups, Counting phase seconds, drop count
+- ``/control``    GET with query params — the input handling the reference
+                  window has: ``cmd=pause|resume|step|quit`` plus live
+                  ``theta=``/``dt=`` retuning (Space and Escape on the page
+                  map to pause and quit, like src/main.rs:168-182)
 
 A consumer thread pops snapshots from the engine queue at its own pace —
 exactly the render thread's role — and keeps only the latest.
@@ -19,7 +27,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
+from urllib.parse import parse_qs, urlparse
 
 from nbody_simulation_tpu.runtime.engine import Engine, Snapshot
 from nbody_simulation_tpu.utils.pngio import save_png
@@ -28,23 +36,44 @@ _PAGE = b"""<!doctype html>
 <html><head><title>nbody_simulation_tpu</title>
 <style>
  body { background:#111; color:#ddd; font-family: monospace; text-align:center }
- img  { image-rendering: pixelated; border: 1px solid #333; max-width: 90vmin }
+ img  { image-rendering: pixelated; border: 1px solid #333; max-width: 88vmin }
  pre  { color:#8f8 }
+ button, input { background:#222; color:#ddd; border:1px solid #444;
+                 font-family: monospace; padding: 2px 8px; margin: 0 2px }
+ input { width: 5em }
 </style></head>
 <body>
 <h3>nbody_simulation_tpu &mdash; live</h3>
-<img id="f" src="/frame.png">
+<div>
+ <button onclick="ctl('pause')">pause</button>
+ <button onclick="ctl('resume')">resume</button>
+ <button onclick="ctl('step')">step</button>
+ <button onclick="ctl('quit')">quit</button>
+ &theta; <input id="theta" onchange="tune()">
+ dt <input id="dt" onchange="tune()">
+</div>
+<img id="f" src="/stream">
 <pre id="s"></pre>
 <script>
- async function tick() {
-   document.getElementById('f').src = '/frame.png?' + Date.now();
+ async function ctl(cmd) { await fetch('/control?cmd=' + cmd); }
+ async function tune() {
+   const t = document.getElementById('theta').value;
+   const d = document.getElementById('dt').value;
+   await fetch('/control?' + (t ? 'theta=' + t + '&' : '') +
+               (d ? 'dt=' + d : ''));
+ }
+ document.addEventListener('keydown', e => {
+   if (e.code === 'Space') { ctl('toggle'); e.preventDefault(); }
+   if (e.code === 'Escape') ctl('quit');
+ });
+ async function stats() {
    try {
      const r = await fetch('/stats');
      document.getElementById('s').textContent =
          JSON.stringify(await r.json(), null, 1);
    } catch (e) {}
  }
- setInterval(tick, 250);
+ setInterval(stats, 500);
 </script>
 </body></html>
 """
@@ -57,37 +86,79 @@ class ViewerServer:
         self.engine = engine
         self.latest: Snapshot | None = None
         self._png: bytes = b""
+        self._frame_seq = 0
         self._lock = threading.Lock()
+        self._new_frame = threading.Condition(self._lock)
         self._fps_counter = 0
         self._fps = 0.0
         self._ups = 0.0
         self._last_step = 0
         self._t0 = time.monotonic()
         self._stopped = threading.Event()
+        self.quit_requested = threading.Event()
 
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # silence request logging
                 pass
 
-            def do_GET(self):
-                if self.path.startswith("/frame.png"):
-                    with viewer._lock:
-                        body = viewer._png
-                    ctype = "image/png"
-                elif self.path.startswith("/stats"):
-                    body = json.dumps(viewer.stats()).encode()
-                    ctype = "application/json"
-                else:
-                    body = _PAGE
-                    ctype = "text/html"
+            def _reply(self, body: bytes, ctype: str) -> None:
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("Cache-Control", "no-store")
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/stream":
+                    return self._stream()
+                if url.path == "/frame.png":
+                    with viewer._lock:
+                        body = viewer._png
+                    return self._reply(body, "image/png")
+                if url.path == "/stats":
+                    return self._reply(json.dumps(viewer.stats()).encode(),
+                                       "application/json")
+                if url.path == "/control":
+                    q = parse_qs(url.query)
+                    viewer._control(q)
+                    return self._reply(b'{"ok": true}', "application/json")
+                return self._reply(_PAGE, "text/html")
+
+            def _stream(self):
+                """Push each new frame as one part of a
+                multipart/x-mixed-replace response — the browser swaps the
+                image in place. fps is engine-bound, not poll-bound."""
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                seen = -1
+                try:
+                    while not viewer._stopped.is_set():
+                        with viewer._new_frame:
+                            if viewer._frame_seq == seen:
+                                viewer._new_frame.wait(timeout=1.0)
+                            if viewer._frame_seq == seen:
+                                continue
+                            body = viewer._png
+                            seen = viewer._frame_seq
+                        if not body:
+                            continue
+                        self.wfile.write(
+                            b"--frame\r\nContent-Type: image/png\r\n"
+                            + f"Content-Length: {len(body)}\r\n\r\n".encode())
+                        self.wfile.write(body)
+                        self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
@@ -99,6 +170,30 @@ class ViewerServer:
     def start(self) -> None:
         self._http_thread.start()
         self._consumer.start()
+
+    def _control(self, q: dict) -> None:
+        """Apply a /control request — the reference's window input
+        (src/main.rs:168-182), plus live θ/dt tuning it never had."""
+        for cmd in q.get("cmd", []):
+            if cmd == "pause":
+                self.engine.pause()
+            elif cmd == "resume":
+                self.engine.resume()
+            elif cmd == "toggle":
+                (self.engine.resume if self.engine.paused
+                 else self.engine.pause)()
+            elif cmd == "step":
+                self.engine.step_once()
+            elif cmd == "quit":
+                self.quit_requested.set()
+                self.engine._stop.set()
+        changes = {}
+        if "theta" in q:
+            changes["theta"] = float(q["theta"][0])
+        if "dt" in q:
+            changes["dt"] = float(q["dt"][0])
+        if changes:
+            self.engine.reconfigure(**changes)
 
     def _consume(self) -> None:
         while not self._stopped.is_set():
@@ -120,9 +215,10 @@ class ViewerServer:
                     save_png(f.name, snap.frame)
                     png = open(f.name, "rb").read()
                     os.unlink(f.name)
-            with self._lock:
+            with self._new_frame:
                 self.latest = snap
                 self._png = png
+                self._frame_seq += 1
                 self._fps_counter += 1
                 now = time.monotonic()
                 dt = now - self._t0
@@ -132,6 +228,7 @@ class ViewerServer:
                     self._fps_counter = 0
                     self._last_step = snap.step
                     self._t0 = now
+                self._new_frame.notify_all()
 
     def stats(self) -> dict:
         with self._lock:
@@ -140,6 +237,9 @@ class ViewerServer:
                 "step": 0 if s is None else s.step,
                 "fps": round(self._fps, 2),
                 "ups": round(self._ups, 2),
+                "paused": self.engine.paused,
+                "theta": self.engine.world.config.theta,
+                "dt": self.engine.world.config.dt,
                 "dropped": self.engine.dropped,
                 "counting": None if s is None else {
                     "build_bvh": s.counting.build_bvh,
@@ -150,4 +250,6 @@ class ViewerServer:
 
     def stop(self) -> None:
         self._stopped.set()
+        with self._new_frame:
+            self._new_frame.notify_all()
         self.httpd.shutdown()

@@ -38,3 +38,53 @@ def test_viewer_serves_frames_and_stats():
 
     engine.stop()
     viewer.stop()
+
+
+def test_viewer_controls_and_stream():
+    """Input handling parity with the reference window (src/main.rs:168-182):
+    pause stops the step counter, resume restarts it, θ/dt retune live, the
+    stream endpoint pushes multipart PNG frames, quit ends the run."""
+    import time
+
+    cfg = SimConfig(force_path="direct", render_size=64, dt=0.1)
+    world = World(uniform_disc(256, seed=1), cfg)
+    engine = Engine(world, snapshot_interval=0.0, steps_per_snapshot=2)
+    viewer = ViewerServer(engine, port=0)
+    viewer.start()
+    engine.start(max_steps=None)
+    base = f"http://127.0.0.1:{viewer.port}"
+
+    def ctl(q):
+        return urllib.request.urlopen(f"{base}/control?{q}", timeout=10).read()
+
+    # stream: first multipart part arrives with a PNG payload
+    req = urllib.request.urlopen(f"{base}/stream", timeout=30)
+    chunk = req.read(200)
+    assert b"--frame" in chunk and b"image/png" in chunk
+    req.close()
+
+    ctl("cmd=pause")
+    time.sleep(0.3)
+    s1 = json.loads(urllib.request.urlopen(f"{base}/stats", timeout=10).read())
+    assert s1["paused"] is True
+    step_at_pause = world.updates
+    time.sleep(0.4)
+    assert world.updates == step_at_pause  # no steps while paused
+
+    ctl("cmd=step")
+    time.sleep(0.4)
+    assert world.updates > step_at_pause  # single batch advanced
+    stepped = world.updates
+    time.sleep(0.3)
+    assert world.updates == stepped       # still paused after the step
+
+    ctl("dt=0.05")
+    ctl("cmd=resume")
+    time.sleep(0.5)
+    assert world.updates > stepped
+    assert world.config.dt == 0.05        # live retune took effect
+
+    ctl("cmd=quit")
+    engine.join(timeout=30)
+    assert not engine._thread.is_alive()
+    viewer.stop()
