@@ -48,7 +48,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_simulation_tpu.config import SimConfig
-from nbody_simulation_tpu.ops.morton import morton_keys, morton_order
+from nbody_simulation_tpu.ops.morton import morton_keys, morton_sort_state
 from nbody_simulation_tpu.ops.traversal import _grouped_force, plan_rows
 from nbody_simulation_tpu.ops.tree import summarize_sorted
 from nbody_simulation_tpu.parallel.mesh import AXIS
@@ -176,8 +176,8 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
     mbits = cfg.resolved_morton_bits()
 
     def local_sort(pos_l, vel_l, mass_l):
-        order = morton_order(pos_l, mass_l, cfg.world_size, bits=mbits)
-        return pos_l[order], vel_l[order], mass_l[order]
+        return morton_sort_state(pos_l, vel_l, mass_l, cfg.world_size,
+                                 bits=mbits)
 
     sort_sharded = jax.shard_map(
         local_sort, mesh=mesh,

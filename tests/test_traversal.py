@@ -274,3 +274,27 @@ def test_leaf_size_variants_exact_at_theta0():
                                   frontier_cap=64, leaf_cap=32))
         e = rel_err(got, want)
         assert e.max() < 1e-4, (leaf, e.max())
+
+
+def test_compact_ranked_matches_sorted_compact():
+    # The dense rank compaction must be bit-identical to "stable argsort by
+    # (distance, index), then prefix-compact" — including tie handling and
+    # the overflow set (as a multiset; its order legitimately differs).
+    import jax.numpy as jnp
+    from nbody_simulation_tpu.ops.traversal import _compact, _compact_ranked
+
+    rng = np.random.default_rng(7)
+    G, K, cap = 23, 32, 12
+    flags = jnp.asarray(rng.random((G, K)) < 0.6)
+    vals = jnp.asarray(rng.integers(0, 999, (G, K)), jnp.int32)
+    d2 = jnp.asarray(rng.integers(0, 5, (G, K)), jnp.float32)  # force ties
+
+    perm = jnp.argsort(jnp.where(flags, d2, 3e38), axis=1, stable=True)
+    take = lambda a: jnp.take_along_axis(a, perm, axis=1)
+    l0, v0, o0 = _compact(take(flags), take(vals), cap)
+    l1, v1, o1 = _compact_ranked(flags, vals, d2, cap)
+    assert (np.asarray(l0) == np.asarray(l1)).all()
+    assert (np.asarray(v0) == np.asarray(v1)).all()
+    ov0 = np.sort(np.asarray(take(vals))[np.asarray(o0)])
+    ov1 = np.sort(np.asarray(vals)[np.asarray(o1)])
+    assert (ov0 == ov1).all()

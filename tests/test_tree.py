@@ -107,3 +107,22 @@ def test_leaf_size_respected():
     tree, _ = build_tree(pos, mass, leaf_size=32)
     assert tree.leaf_pos.shape[1] == 32
     assert (np.asarray(tree.levels[-1].count) <= 32).all()
+
+
+def test_morton_sort_state_matches_order_gather():
+    # The multi-payload sort fast path must produce exactly the permutation
+    # morton_order defines (stable, padding last) for both key depths.
+    from nbody_simulation_tpu.ops.morton import morton_sort_state
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    pos = jnp.asarray(rng.uniform(0, 1e5, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    mass = jnp.asarray(np.where(rng.random(n) < 0.15, 0.0,
+                                rng.integers(1, 50, n)), jnp.float32)
+    for bits in (15, 24):
+        order = morton_order(pos, mass, 1e5, bits=bits)
+        sp, sv, sm = morton_sort_state(pos, vel, mass, 1e5, bits=bits)
+        assert (np.asarray(pos[order]) == np.asarray(sp)).all(), bits
+        assert (np.asarray(vel[order]) == np.asarray(sv)).all(), bits
+        assert (np.asarray(mass[order]) == np.asarray(sm)).all(), bits
