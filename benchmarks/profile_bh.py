@@ -78,7 +78,7 @@ def main():
     tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
 
     sweep = jax.jit(functools.partial(
-        _grouped_force, softening2=cfg.softening2, rcp=cfg.rcp,
+        _grouped_force, softening2=cfg.softening2, rcp=cfg.resolved_rcp(bh=True),
         interpret=False, src_q=src_q))
     t_sweep = timeit(sweep, tgt, *planned[:3])
 

@@ -184,7 +184,7 @@ def config5():
             planned = plan_rows(tr, own, cfg.theta, f, l, cfg.tree_arity,
                                 multipole=mp)
             return _grouped_force(tgt, *planned[:3],
-                                  softening2=cfg.softening2, rcp=cfg.rcp,
+                                  softening2=cfg.softening2, rcp=cfg.resolved_rcp(bh=True),
                                   interpret=False,
                                   src_q=planned[3:] if mp == 2 else None)
         sync(stage(tree))

@@ -63,10 +63,22 @@ class SimConfig:
 
     # Pallas all-pairs tile sizes (i = sublane/rows, j = lane/cols) and
     # reciprocal mode ("exact" | "newton" | "approx"); (512, 2048, newton)
-    # measured fastest-accurate on v5e.
+    # measured fastest-accurate on v5e. rcp=None resolves per path: "newton"
+    # for the exact force paths (≤6e-6 relative deviation), and for BH by θ:
+    # "approx" in the reference's θ≥2 regime (the walk's own approximation
+    # error is orders of magnitude above the ≤6e-4 reciprocal noise; saves
+    # ~14% sweep flops), "newton" at physics-quality θ<2 where 6e-4 would
+    # dominate the ~2.7e-4 quadrupole-walk error.
     tile_i: int = 512
     tile_j: int = 2048
-    rcp: str = "newton"
+    rcp: str | None = None
+
+    def resolved_rcp(self, bh: bool = False) -> str:
+        if self.rcp is not None:
+            return self.rcp
+        if bh:
+            return "approx" if self.theta >= 2.0 else "newton"
+        return "newton"
 
     # Barnes-Hut traversal capacities: frontier slots per level and leaf-list
     # slots per group. Overflow falls back to COM approximation (never drops

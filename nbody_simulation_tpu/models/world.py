@@ -34,7 +34,7 @@ def make_accel_fn(config: SimConfig):
     if config.force_path == "pallas":
         return functools.partial(
             allpairs_accel, softening2=config.softening2,
-            tile_i=config.tile_i, tile_j=config.tile_j, rcp=config.rcp)
+            tile_i=config.tile_i, tile_j=config.tile_j, rcp=config.resolved_rcp())
     if config.force_path == "bh":
         from nbody_simulation_tpu.ops.traversal import bh_accel_fn
         return bh_accel_fn(config)
@@ -105,7 +105,8 @@ class World:
                                    frontier_cap=fcap, leaf_cap=lcap,
                                    arity=config.tree_arity,
                                    plan_leaves=config.plan_leaves,
-                                   multipole=config.resolved_multipole())[:n]
+                                   multipole=config.resolved_multipole(),
+                                   rcp=config.resolved_rcp(bh=True))[:n]
 
         import numpy as _np
         fdt = _np.float32(dt)  # host constant: device constants in closures
@@ -212,7 +213,8 @@ class World:
                                        frontier_cap=fcap, leaf_cap=lcap,
                                        arity=cfg.tree_arity,
                                        plan_leaves=cfg.plan_leaves,
-                                       multipole=cfg.resolved_multipole())[:n]
+                                       multipole=cfg.resolved_multipole(),
+                                       rcp=cfg.resolved_rcp(bh=True))[:n]
 
             with PhaseTimer(counting, "build_bvh"):
                 spos, svel, smass = morton_sort_state(

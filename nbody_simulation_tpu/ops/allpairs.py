@@ -39,6 +39,33 @@ from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL, pair_accel
 FLOPS_PER_PAIR = 22
 
 
+def mono_tile(dx, dy, mj, softening2: float, rcp: str):
+    """Monopole force contributions (cx, cy) for displacement tiles.
+
+    The exact reference law (src/main.rs:234-253) on a (TI,TJ) tile; shared
+    by the all-pairs kernel and the Barnes-Hut grouped sweep
+    (ops/traversal.py).
+    """
+    if rcp == "exact":
+        return pair_accel(dx, dy, mj, softening2)
+    # Same law, but the division is an approximate VPU reciprocal,
+    # optionally sharpened by one Newton step r*(2 - den*r) (~1 ulp).
+    # The is_normal guard is two compares: s <= FLT_MAX is false for
+    # both inf and NaN, so this matches jnp.isfinite exactly; masked
+    # lanes may carry inf/NaN through the reciprocal — the final where
+    # kills them (cheaper than sanitizing the denominator first).
+    s = jnp.abs(dx) + jnp.abs(dy)
+    normal = (s >= FLT_MIN_NORMAL) & (s <= jnp.float32(3.4028235e38))
+    d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
+    den = s * d2
+    r = pl.reciprocal(den, approx=True)
+    if rcp == "newton":
+        r = r * (jnp.float32(2.0) - den * r)
+    r = jnp.where(normal, r, jnp.float32(0.0))
+    w = mj * r
+    return dx * w, dy * w
+
+
 def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
                      ax_ref, ay_ref, softening2: float, rcp: str):
     @pl.when(pl.program_id(1) == 0)
@@ -48,26 +75,7 @@ def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
 
     dx = xj_ref[:] - xi_ref[:]          # (1,TJ) - (TI,1) -> (TI,TJ)
     dy = yj_ref[:] - yi_ref[:]
-    if rcp == "exact":
-        cx, cy = pair_accel(dx, dy, mj_ref[:], softening2)
-    else:
-        # Same law, but the division is an approximate VPU reciprocal,
-        # optionally sharpened by one Newton step r*(2 - den*r) (~1 ulp).
-        # The is_normal guard is two compares: s <= FLT_MAX is false for
-        # both inf and NaN, so this matches jnp.isfinite exactly; masked
-        # lanes may carry inf/NaN through the reciprocal — the final where
-        # kills them (cheaper than sanitizing the denominator first).
-        s = jnp.abs(dx) + jnp.abs(dy)
-        normal = (s >= FLT_MIN_NORMAL) & (s <= jnp.float32(3.4028235e38))
-        d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
-        den = s * d2
-        r = pl.reciprocal(den, approx=True)
-        if rcp == "newton":
-            r = r * (jnp.float32(2.0) - den * r)
-        r = jnp.where(normal, r, jnp.float32(0.0))
-        w = mj_ref[:] * r
-        cx = dx * w
-        cy = dy * w
+    cx, cy = mono_tile(dx, dy, mj_ref[:], softening2, rcp)
     ax_ref[:] += jnp.sum(cx, axis=1, keepdims=True)
     ay_ref[:] += jnp.sum(cy, axis=1, keepdims=True)
 

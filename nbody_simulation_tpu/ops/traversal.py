@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbody_simulation_tpu.ops.allpairs import _allpairs_kernel
+from nbody_simulation_tpu.ops.allpairs import mono_tile
 from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL
 from nbody_simulation_tpu.ops.tree import BIG, FlatTree, build_tree
 
@@ -140,10 +140,8 @@ def _compact_ranked(flags: jax.Array, values: jax.Array, key: jax.Array,
     return lists, valid, overflow
 
 
-def _quad_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
-                 qxx_ref, qxy_ref, qyy_ref, ax_ref, ay_ref,
-                 softening2: float, rcp: str):
-    """Monopole + quadrupole force tile.
+def _quad_tile(dx, dy, mj, qxx, qxy, qyy, softening2: float, rcp: str):
+    """Monopole + quadrupole force contributions (cx, cy) for a (TI,TJ) tile.
 
     Sources carry second moments Q = Σ m·δδᵀ about their COM (ops/tree.py);
     the correction is ½·Q : ∇∇f evaluated at the COM displacement, with the
@@ -151,13 +149,6 @@ def _quad_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
     (validated against jax.hessian in tests/test_traversal.py). Leaf-particle
     sources have Q = 0, so the correction vanishes for exact interactions.
     """
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        ax_ref[:] = jnp.zeros_like(ax_ref)
-        ay_ref[:] = jnp.zeros_like(ay_ref)
-
-    dx = xj_ref[:] - xi_ref[:]          # (TI,TJ): d = source − target
-    dy = yj_ref[:] - yi_ref[:]
     adx = jnp.abs(dx)
     ady = jnp.abs(dy)
     s = adx + ady
@@ -172,7 +163,7 @@ def _quad_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
         if rcp == "newton":
             a = a * (jnp.float32(2.0) - s * a)
             b = b * (jnp.float32(2.0) - d2 * b)
-    w = mj_ref[:] * (a * b)
+    w = mj * (a * b)
     # Hessian pieces of g(d) = 1/(‖d‖₁·‖d‖₂²): g_x, g_y and g_{xx,xy,yy}.
     sx = jnp.where(dx >= 0, jnp.float32(1.0), jnp.float32(-1.0))
     sy = jnp.where(dy >= 0, jnp.float32(1.0), jnp.float32(-1.0))
@@ -191,9 +182,6 @@ def _quad_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
     gxy = (jnp.float32(2.0) * sx * sy * a3b
            + jnp.float32(2.0) * (sx * dy + sy * dx) * a2b2
            + jnp.float32(8.0) * dx * dy * ab3)
-    qxx = qxx_ref[:]
-    qxy = qxy_ref[:]
-    qyy = qyy_ref[:]
     half = jnp.float32(0.5)
     corr_x = half * ((jnp.float32(2.0) * gx + dx * gxx) * qxx
                      + jnp.float32(2.0) * (gy + dx * gxy) * qxy
@@ -203,8 +191,63 @@ def _quad_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
                      + (jnp.float32(2.0) * gy + dy * gyy) * qyy)
     cx = jnp.where(normal, dx * w + corr_x, jnp.float32(0.0))
     cy = jnp.where(normal, dy * w + corr_y, jnp.float32(0.0))
-    ax_ref[:] += jnp.sum(cx, axis=1, keepdims=True)
-    ay_ref[:] += jnp.sum(cy, axis=1, keepdims=True)
+    return cx, cy
+
+
+def _sweep_kernel(*refs, softening2: float, rcp: str, n_sub: int,
+                  quad: bool):
+    """Grouped force sweep over ``n_sub`` groups per grid step.
+
+    Ref layout: (xi, yi) targets of (S, n_sub) — one LANE column per group
+    (an (X, 1) column block would tile as T(8,128) and waste 128× VMEM;
+    measured 16+ MB of column buffers at n_sub=8); sources (xj, yj, mj
+    [, qxx, qxy, qyy]) of (n_sub, TJ) — one sublane row per group; outputs
+    (ax, ay) like the targets. Batching n_sub groups per grid step amortizes
+    the per-step DMA/sequencing overhead that dominated the single-group
+    sweep (per-group source rows are ~5 KB).
+    """
+    xi_ref, yi_ref = refs[0], refs[1]
+    n_src = 6 if quad else 3
+    srcs = refs[2:2 + n_src]
+    ax_ref, ay_ref = refs[2 + n_src], refs[3 + n_src]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        ax_ref[:] = jnp.zeros_like(ax_ref)
+        ay_ref[:] = jnp.zeros_like(ay_ref)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n_sub), 1)
+
+    # fori_loop (not an unrolled Python loop) on purpose: Mosaic pipelines
+    # an unrolled loop's independent iterations and keeps every sub's tile
+    # temporaries live at once (measured 19-21 MB of scoped VMEM at gb=8 —
+    # over the 16 MB budget). The sequential loop reuses one iteration's
+    # buffers; the grid pipeline still overlaps the next block's DMAs.
+    def body(sub, _):
+        # Column extract/scatter by masked lane-reduction/broadcast: a
+        # width-1 dynamic lane slice needs a 128-aligned index (Mosaic
+        # restriction — "cannot statically prove index is a multiple of
+        # 128"), and a one-hot MXU matmul rounds operands to bf16
+        # (measured 4e-3 rel err). The masked sum is exact (one surviving
+        # lane) and costs ~2% of the tile flops.
+        m = lanes == sub
+        xi = jnp.sum(jnp.where(m, xi_ref[:], 0.0), axis=1, keepdims=True)
+        yi = jnp.sum(jnp.where(m, yi_ref[:], 0.0), axis=1, keepdims=True)
+        row = pl.ds(sub, 1)
+        dx = srcs[0][row, :] - xi              # (1,TJ) − (S,1) → (S,TJ)
+        dy = srcs[1][row, :] - yi
+        mj = srcs[2][row, :]
+        if quad:
+            cx, cy = _quad_tile(dx, dy, mj, srcs[3][row, :],
+                                srcs[4][row, :], srcs[5][row, :],
+                                softening2, rcp)
+        else:
+            cx, cy = mono_tile(dx, dy, mj, softening2, rcp)
+        ax_ref[:] += jnp.where(m, jnp.sum(cx, axis=1, keepdims=True), 0.0)
+        ay_ref[:] += jnp.where(m, jnp.sum(cy, axis=1, keepdims=True), 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_sub, body, 0)
 
 
 def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
@@ -443,33 +486,48 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
     def ceil_to(x, m):
         return -(-x // m) * m
 
+    # Groups per grid step: per-group source rows are tiny (tj·4B ≈ 5 KB),
+    # so single-group steps were DMA/sequencing-overhead bound. Batching
+    # groups per step amortizes that. gb=128 makes the (s, gb) target block
+    # lane-aligned (Mosaic: lane block dim must be a multiple of 128 or the
+    # whole array); smaller g runs as one block (block == array dim is the
+    # other allowed case). Groups are padded with inert zero rows.
+    gb = min(128, g)
+    g_pad = ceil_to(g, gb)
+    if g_pad != g:
+        zt = jnp.zeros((g_pad - g, s, 2), jnp.float32)
+        tgt_pos = jnp.concatenate([tgt_pos, zt], 0)
+        zs = jnp.zeros((g_pad - g, c), jnp.float32)
+        srcs = [jnp.concatenate([a, zs], 0) for a in srcs]
+
     # The quad kernel keeps ~20 tile-sized temporaries live (a/b powers,
-    # g-derivatives, Hessian pieces); 2^17 f32 × ~20 × 4B ≈ 10 MB fits the
-    # 16 MB scoped-VMEM budget. The monopole kernel carries ~6 and gets 2^20.
-    area = (1 << 17) if src_q is not None else (1 << 20)
+    # g-derivatives, Hessian pieces); its area cap is 2^16 — at gb=128 the
+    # six double-buffered (gb, tj) source blocks add ~6 KB/lane on top of
+    # the temporaries, and 2^17 at s=64 measured 16.53 MB scoped VMEM
+    # (544 KB over budget). The monopole kernel carries ~8 and gets 2^19.
+    area = (1 << 16) if src_q is not None else (1 << 19)
     tile_cap = min(tile_j, max(128, (area // s) // 128 * 128))
     n_tiles = max(1, -(-c // tile_cap))
     tj = ceil_to(-(-c // n_tiles), 128)
     target_c = n_tiles * tj
     if target_c != c:
-        z = jnp.zeros((g, target_c - c), jnp.float32)
+        z = jnp.zeros((g_pad, target_c - c), jnp.float32)
         srcs = [jnp.concatenate([a, z], 1) for a in srcs]
         c = target_c
 
-    x_col = tgt_pos[..., 0].reshape(g * s, 1)
-    y_col = tgt_pos[..., 1].reshape(g * s, 1)
-    # Sources flattened to (1, G*C): Mosaic requires the sublane block dim to
-    # divide 8 or equal the array dim, so per-group rows can't be blocked as
-    # (1, tj) out of (G, C) — but in a flat row, group g's tile j is simply
-    # block g*(C/tj)+j.
-    srcs = [a.reshape(1, g * c) for a in srcs]
+    # Targets/outputs laid out (S, G): one LANE column per group. The
+    # previous (G·S, 1) column layout tiled each (gb·S, 1) block as T(8,128)
+    # — 128× VMEM waste, 16+ MB of column buffers at gb=8.
+    tgt_t = jnp.transpose(tgt_pos, (1, 0, 2))   # (S, G, 2)
+    x_cols = tgt_t[..., 0]                      # (S, G)
+    y_cols = tgt_t[..., 1]
     jt = c // tj  # j-tiles per group
-    kfn = _allpairs_kernel if src_q is None else _quad_kernel
-    kernel = functools.partial(kfn, softening2=softening2, rcp=rcp)
-    grid = (g, jt)
-    tgt_spec = pl.BlockSpec((s, 1), lambda i, j: (i, 0),
+    kernel = functools.partial(_sweep_kernel, softening2=softening2, rcp=rcp,
+                               n_sub=gb, quad=src_q is not None)
+    grid = (g_pad // gb, jt)
+    tgt_spec = pl.BlockSpec((s, gb), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
-    src_spec = pl.BlockSpec((1, tj), lambda i, j: (0, i * jt + j),
+    src_spec = pl.BlockSpec((gb, tj), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     ax, ay = pl.pallas_call(
         kernel,
@@ -477,34 +535,39 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
         in_specs=[tgt_spec, tgt_spec] + [src_spec] * len(srcs),
         out_specs=[tgt_spec, tgt_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((g * s, 1), jnp.float32),
-            jax.ShapeDtypeStruct((g * s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, g_pad), jnp.float32),
+            jax.ShapeDtypeStruct((s, g_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_col, y_col, *srcs)
-    return jnp.concatenate([ax, ay], 1).reshape(g, s, 2)
+    )(x_cols, y_cols, *srcs)
+    return jnp.stack([ax.T, ay.T], axis=-1)[:g]  # (G, S, 2)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("theta", "softening2", "frontier_cap",
                                     "leaf_cap", "interpret", "arity",
-                                    "plan_leaves", "multipole"))
+                                    "plan_leaves", "multipole", "rcp"))
 def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
                     softening2: float = 1e-3, frontier_cap: int = 32,
                     leaf_cap: int = 16, interpret: bool = False,
                     arity: int = 2, plan_leaves: int = 1,
-                    multipole: int = 1) -> jax.Array:
+                    multipole: int = 1, rcp: str | None = None) -> jax.Array:
     """Accelerations for all (sorted, padded) particles in the tree.
 
     Returns f32[n_leaves*leaf_size, 2] in sorted order. ``multipole=2``
     adds the quadrupole correction for accepted nodes (≈10-100× lower
-    acceptance error at physics-quality θ, ~2× sweep flops).
+    acceptance error at physics-quality θ, ~2× sweep flops). ``rcp=None``
+    resolves from θ like SimConfig.resolved_rcp: the fast approximate
+    reciprocal (≤6e-4) in the θ≥2 regime where the walk's own error
+    dominates, Newton-refined (≤6e-6) at physics quality.
     """
     if jax.default_backend() == "cpu":
         interpret = True
+    if rcp is None:
+        rcp = "approx" if theta >= 2.0 else "newton"
     n_leaves, S, _ = tree.leaf_pos.shape
     pl_ = max(1, min(plan_leaves, n_leaves))
     while n_leaves % pl_:
@@ -516,7 +579,7 @@ def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
     src_q = planned[3:] if multipole == 2 else None
     tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
     acc = _grouped_force(tgt, src_x, src_y, src_m,
-                         softening2=softening2, rcp="newton",
+                         softening2=softening2, rcp=rcp,
                          interpret=interpret, src_q=src_q)
     return acc.reshape(n_leaves * S, 2)
 
@@ -527,7 +590,7 @@ def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
              frontier_cap: int | None = None, leaf_cap: int | None = None,
              arity: int = 2,
              plan_leaves: int = 1, morton_bits: int | None = None,
-             multipole: int | None = None,
+             multipole: int | None = None, rcp: str | None = None,
              group_chunk: int | None = None) -> jax.Array:
     """Full Barnes-Hut acceleration: sort + build + plan + sweep + unsort.
 
@@ -556,7 +619,7 @@ def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
     acc_sorted = bh_accel_sorted(tree, theta=theta, softening2=softening2,
                                  frontier_cap=frontier_cap, leaf_cap=leaf_cap,
                                  arity=arity, plan_leaves=plan_leaves,
-                                 multipole=multipole)
+                                 multipole=multipole, rcp=rcp)
     return jnp.zeros((n, 2), jnp.float32).at[order].set(acc_sorted[:n])
 
 
@@ -570,4 +633,5 @@ def bh_accel_fn(config):
         leaf_cap=config.resolved_caps()[1],
         arity=config.tree_arity, plan_leaves=config.plan_leaves,
         morton_bits=config.resolved_morton_bits(),
-        multipole=config.resolved_multipole())
+        multipole=config.resolved_multipole(),
+        rcp=config.resolved_rcp(bh=True))

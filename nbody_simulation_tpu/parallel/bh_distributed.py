@@ -153,7 +153,7 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
             planned = plan_rows(visiting, own, cfg.theta, fcap, lcap,
                                 cfg.tree_arity, multipole=mp)
             acc = acc + _grouped_force(
-                tgt, *planned[:3], softening2=cfg.softening2, rcp=cfg.rcp,
+                tgt, *planned[:3], softening2=cfg.softening2, rcp=cfg.resolved_rcp(bh=True),
                 interpret=interpret,
                 src_q=planned[3:] if mp == 2 else None)
         return acc.reshape(n_leaves * S, 2)

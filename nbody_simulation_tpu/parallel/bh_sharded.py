@@ -70,7 +70,7 @@ def bh_sharded_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                             fcap, lcap, cfg.tree_arity, multipole=mp)
         acc_slice = _grouped_force(
             sl(tree.leaf_pos), *planned[:3],
-            softening2=cfg.softening2, rcp=cfg.rcp,
+            softening2=cfg.softening2, rcp=cfg.resolved_rcp(bh=True),
             interpret=interpret,
             src_q=planned[3:] if mp == 2 else None).reshape(my_leaves * S, 2)
 

@@ -31,7 +31,7 @@ def make_sharded_step(mesh: Mesh, config: SimConfig, axis: str = AXIS,
     def step(state: ParticleState) -> ParticleState:
         acc = ring_allpairs_accel(state.pos, state.mass, mesh, axis=axis,
                                   softening2=config.softening2,
-                                  tile_i=ti, tile_j=tj, rcp=config.rcp)
+                                  tile_i=ti, tile_j=tj, rcp=config.resolved_rcp())
         vel = state.vel + acc * dt
         pos = state.pos + vel * dt
         return state.replace(pos=pos, vel=vel)
