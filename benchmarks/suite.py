@@ -144,13 +144,16 @@ def config5():
         emit(5, f"ring all-pairs N={n_dev*2048} on {n_dev} devices", 1 / dt,
              "steps/s")
         return
-    # Single-chip proxy for the v5e-16 flagship (N=16.7M distributed BH):
-    # measure (a) the full distributed-BH step on a 1-device mesh at the
-    # per-shard size L = N/16 — exactly the local stage (sort + subtree +
-    # plan + sweep + integrate) every chip runs — and (b) one remote-stage
-    # plan+sweep at near caps and at far caps. Projection for P chips:
-    # t_step ≈ t_local + 2·t_near + (P−3)·t_far, assuming ppermute overlaps
-    # compute (ring.py measured behavior for the all-pairs path).
+    # Single-chip proxy for the v5e-16 flagship (N=16.7M distributed BH,
+    # far_mode="forest"): measure (a) the full distributed-BH step on a
+    # 1-device mesh at the per-shard size L = N/16 — exactly the local
+    # stage (amortized sort + subtree + plan + sweep + integrate) every
+    # chip runs — (b) one neighbor-stage plan+sweep at full caps, and
+    # (c) the forest stage as a bounded flush-walk over the local tree
+    # seeded at its 16 level-4 subtree roots (identical planner/sweep
+    # shapes and spatial interleaving to the real P=16 gathered forest).
+    # Projection for P chips: t_step ≈ t_local + 2·t_near + t_forest,
+    # assuming ppermute/all_gather overlap compute (KB-scale transfers).
     from nbody_simulation_tpu.parallel import (distribute_state,
                                                make_distributed_bh_step)
     from nbody_simulation_tpu.ops.tree import summarize_sorted
@@ -162,12 +165,14 @@ def config5():
     mesh = make_1d_mesh(1)
     st = distribute_state(uniform_disc(L, seed=0), mesh, cfg)
     step = make_distributed_bh_step(mesh, cfg)
-    st = step(st); sync(st)
-    t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(9):   # warm BOTH variants (resort + stale-order)
         st = step(st)
     sync(st)
-    t_local = (time.perf_counter() - t0) / 10
+    t0 = time.perf_counter()
+    for _ in range(16):
+        st = step(st)
+    sync(st)
+    t_local = (time.perf_counter() - t0) / 16
 
     tree = summarize_sorted(st.pos, st.mass, leaf_size=cfg.leaf_size,
                             unweighted_leaf_com=cfg.unweighted_leaf_com)
@@ -177,29 +182,34 @@ def config5():
     tgt = tree.leaf_pos.reshape(n_leaves // pl, pl * S, 2)
     mp = cfg.resolved_multipole()
 
-    def stage_time(fcap, lcap):
+    def stage_time(fcap, lcap, max_levels=None):
         import functools
-        @functools.partial(jax.jit, static_argnames=("f", "l"))
-        def stage(tr, f=fcap, l=lcap):
+        @functools.partial(jax.jit, static_argnames=("f", "l", "ml"))
+        def stage(tr, f=fcap, l=lcap, ml=max_levels):
             planned = plan_rows(tr, own, cfg.theta, f, l, cfg.tree_arity,
-                                multipole=mp)
+                                multipole=mp, max_levels=ml)
             return _grouped_force(tgt, *planned[:3],
-                                  softening2=cfg.softening2, rcp=cfg.resolved_rcp(bh=True),
+                                  softening2=cfg.softening2,
+                                  rcp=cfg.resolved_rcp(bh=True),
                                   interpret=False,
                                   src_q=planned[3:] if mp == 2 else None)
         sync(stage(tree))
         t0 = time.perf_counter()
-        sync(stage(tree))
-        return time.perf_counter() - t0
+        for _ in range(10):
+            out = stage(tree)
+        sync(out)
+        return (time.perf_counter() - t0) / 10
 
-    from nbody_simulation_tpu.parallel.bh_distributed import _stage_caps
-    t_near = stage_time(*_stage_caps(cfg, 1, P))
-    t_far = stage_time(*_stage_caps(cfg, P // 2, P))
-    t_step = t_local + 2 * t_near + (P - 3) * t_far
+    t_near = stage_time(*cfg.resolved_caps())
+    k0 = min(max(16 .bit_length() - 1, 0), tree.depth - 1)
+    t_forest = stage_time(16, 0,
+                          max_levels=min(cfg.forest_levels, tree.depth - k0))
+    t_step = t_local + 2 * t_near + t_forest
     emit(5, f"distributed-BH projected steps/s @N={N} on v5e-{P} "
-            "(single-chip per-shard proxy)", 1 / t_step, "steps/s",
+            "(single-chip per-shard proxy, forest far-mode)", 1 / t_step,
+         "steps/s",
          t_local_ms=round(t_local * 1e3, 2), t_near_ms=round(t_near * 1e3, 2),
-         t_far_ms=round(t_far * 1e3, 2), shard=L)
+         t_forest_ms=round(t_forest * 1e3, 2), shard=L)
 
 
 def main():

@@ -153,6 +153,24 @@ class SimConfig:
     far_frontier_cap: int | None = None
     far_leaf_cap: int | None = None
 
+    # How the distributed step covers ring-far subtrees. "ring": every
+    # subtree visits every device (P-1 ppermute stages, per-stage plan+sweep
+    # — exact-capable but per-stage fixed costs scale with P). "forest": the
+    # top ``forest_levels`` levels of every subtree are all_gathered once
+    # per step (O(P·2^forest_levels) bytes — KBs) and ONE bounded walk
+    # (plan_rows max_levels flush) covers all far subtrees; only the two
+    # Morton-neighbor subtrees ride the ring at full caps. None resolves by
+    # θ: forest in the reference's θ≥2 regime (a flushed cell at the
+    # gathered cut is far finer than what θ=50 accepts anyway), ring at
+    # physics quality.
+    far_mode: str | None = None
+    forest_levels: int = 8
+
+    def resolved_far_mode(self) -> str:
+        if self.far_mode is not None:
+            return self.far_mode
+        return "forest" if self.theta >= 2.0 else "ring"
+
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).
     heavy_weight: float = 10.0

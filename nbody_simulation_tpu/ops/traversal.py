@@ -284,7 +284,9 @@ def bh_plan_sources(tree: FlatTree, theta: float, frontier_cap: int,
 
 
 def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
-              leaf_cap: int, arity: int = 2, multipole: int = 1):
+              leaf_cap: int, arity: int = 2, multipole: int = 1,
+              max_levels: int | None = None, seed=None,
+              return_frontier: bool = False):
     """The planner over explicit own-AABB rows.
 
     ``own`` holds one AABB per planning row (a Level or slice of one);
@@ -296,6 +298,23 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
     Returns ``(src_x, src_y, src_m)`` lists of (G, C) for ``multipole=1``,
     plus ``(src_qxx, src_qxy, src_qyy)`` for ``multipole=2`` (accepted nodes
     carry their second moments; leaf-particle sources carry zeros).
+
+    ``max_levels``: bounded walk — expand at most this many levels past the
+    frontier seed, then FLUSH: every node still open at the cut level is
+    emitted as a COM source (the same graceful degradation as capacity
+    overflow — force is approximated, never dropped). The leaf tiles are
+    never gathered in this mode, so it also serves trees with no leaf data
+    (the distributed coarse forest, parallel/bh_distributed.py). Flushed
+    nodes failed the θ test (they are close), so they emit monopole-only
+    even at ``multipole=2`` — the same rule as overflow fallback.
+
+    ``seed``: ``(level, frontier, valid)`` — resume a walk from an explicit
+    frontier at ``level`` instead of seeding with all of level log2(F)
+    (frontier width must equal ``frontier_cap``). ``return_frontier``: with
+    ``max_levels`` set, skip the flush and return
+    ``(cols_tuple, frontier, valid)`` so the caller can hand unresolved
+    rows to a deeper continuation walk (the near-stage refinement of
+    parallel/bh_distributed.py).
 
     Compile-time shape: for ``arity=2`` all interior levels run as ONE
     ``lax.scan`` over the stacked (width-padded) level records, so the
@@ -310,8 +329,12 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
     gmin = own.aabb_min[:, None, :]     # (G',1,2) group AABB
     gmax = own.aabb_max[:, None, :]
 
-    # Deepest level whose full width fits the frontier.
-    k0 = min(max(F.bit_length() - 1, 0), depth - 1) if depth > 0 else 0
+    # Deepest level whose full width fits the frontier (or the seed level).
+    if seed is not None:
+        k0 = seed[0]
+        assert seed[1].shape[1] == F, (seed[1].shape, F)
+    else:
+        k0 = min(max(F.bit_length() - 1, 0), depth - 1) if depth > 0 else 0
 
     def level_body(packed_child, frontier, valid, fan, cap):
         """Expand one level: test fan·F candidate children, emit their COM
@@ -393,26 +416,32 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
 
     ncols = 6 if multipole == 2 else 3
     src_cols = [[] for _ in range(ncols)]
-    width = 1 << k0
-    frontier = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
-                                (g_rows, width))
-    if width < F:
-        frontier = jnp.concatenate(
-            [frontier, jnp.zeros((g_rows, F - width), jnp.int32)], axis=1)
-    valid = (jnp.arange(F, dtype=jnp.int32)[None, :] < width)
-    valid = jnp.broadcast_to(valid, (g_rows, F))
+    if seed is not None:
+        frontier, valid = seed[1], seed[2]
+    else:
+        width = 1 << k0
+        frontier = jnp.broadcast_to(
+            jnp.arange(width, dtype=jnp.int32)[None, :], (g_rows, width))
+        if width < F:
+            frontier = jnp.concatenate(
+                [frontier, jnp.zeros((g_rows, F - width), jnp.int32)], axis=1)
+        valid = (jnp.arange(F, dtype=jnp.int32)[None, :] < width)
+        valid = jnp.broadcast_to(valid, (g_rows, F))
     leaf_ids = jnp.zeros((g_rows, 1), jnp.int32)
     leaf_valid = jnp.ones((g_rows, 1), dtype=bool)
 
-    interior = depth - 1 - k0   # levels walked with frontier compaction
-    if arity == 2 and interior >= 2:
+    # ``cut``: deepest level the bounded walk expands to (then flushes);
+    # None = unbounded (the last expansion is the leaf-cap compaction).
+    cut = None if max_levels is None else min(depth, k0 + max_levels)
+    last_scan = (depth - 1) if cut is None else cut
+    if arity == 2 and last_scan - k0 >= 2:
         # One scan iteration per interior level: stack the (width-padded)
         # child records so the traced graph is depth-independent.
-        wmax = 1 << (depth - 1)
+        wmax = 1 << last_scan
         stacked = jnp.stack([
             jnp.pad(packed_of(tree.levels[l]),
                     ((0, wmax - (1 << l)), (0, 0)))
-            for l in range(k0 + 1, depth)])
+            for l in range(k0 + 1, last_scan + 1)])
 
         def scan_body(carry, packed_child):
             frontier, valid = carry
@@ -426,15 +455,17 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
             # (T, G, 2F) → (G, T·2F)
             src_cols[k].append(
                 col_stacks[k].transpose(1, 0, 2).reshape(g_rows, -1))
-        leaf_ids, leaf_valid, leaf_cols = level_body(
-            packed_of(tree.levels[depth]), frontier, valid, 2, leaf_cap)
-        for k in range(ncols):
-            src_cols[k].append(leaf_cols[k])
+        if cut is None:
+            leaf_ids, leaf_valid, leaf_cols = level_body(
+                packed_of(tree.levels[depth]), frontier, valid, 2, leaf_cap)
+            for k in range(ncols):
+                src_cols[k].append(leaf_cols[k])
     else:
         lvl = k0
-        while lvl < depth:
-            step = 2 if (arity == 4 and lvl + 2 <= depth) else 1
-            last = lvl + step >= depth
+        end = depth if cut is None else cut
+        while lvl < end:
+            step = 2 if (arity == 4 and lvl + 2 <= end) else 1
+            last = cut is None and lvl + step >= depth
             out_list, out_valid, cols = level_body(
                 packed_of(tree.levels[lvl + step]), frontier, valid,
                 1 << step, leaf_cap if last else F)
@@ -445,6 +476,20 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
             for k in range(ncols):
                 src_cols[k].append(cols[k])
             lvl += step
+    if cut is not None:
+        # FLUSH: still-open frontier nodes at the cut level become COM
+        # sources (close ⇒ quadrupole invalid ⇒ monopole-only, like
+        # overflow fallback). No leaf tiles in this mode.
+        rec = packed_of(tree.levels[cut])[frontier]
+        src_cols[0].append(rec[..., 4])
+        src_cols[1].append(rec[..., 5])
+        src_cols[2].append(jnp.where(valid, rec[..., 6], 0.0))
+        if multipole == 2:
+            z = jnp.zeros((g_rows, frontier.shape[1]), jnp.float32)
+            for k in range(3):
+                src_cols[3 + k].append(z)
+        return tuple(jnp.concatenate(src_cols[k], axis=1)
+                     for k in range(ncols))
     src_x, src_y, src_m = src_cols[0], src_cols[1], src_cols[2]
     src_q = src_cols[3:]
 

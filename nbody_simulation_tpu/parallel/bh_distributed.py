@@ -50,7 +50,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nbody_simulation_tpu.config import SimConfig
 from nbody_simulation_tpu.ops.morton import morton_keys, morton_sort_state
 from nbody_simulation_tpu.ops.traversal import _grouped_force, plan_rows
-from nbody_simulation_tpu.ops.tree import summarize_sorted
+from nbody_simulation_tpu.ops.tree import (EMPTY_POS, FlatTree, Level,
+                                           _combine, summarize_sorted)
 from nbody_simulation_tpu.parallel.mesh import AXIS
 from nbody_simulation_tpu.state import PAD_POS, ParticleState
 
@@ -117,6 +118,67 @@ def _stage_caps(config: SimConfig, dist: int, n_dev: int):
     return min(fcap, ff), min(lcap, fl)
 
 
+def _gather_forest(tree: FlatTree, axis: str, n_dev: int,
+                   top_levels: int) -> FlatTree:
+    """All-gather the top ``top_levels`` levels of every device's subtree
+    and assemble ONE complete binary FlatTree over them.
+
+    Subtrees at ring distance 0 and ±1 are emptied (zero mass, point AABB at
+    EMPTY_POS) — they are covered exactly by the local walk and the two
+    neighbor ring stages, so the forest walk contributes zero force for
+    them. Virtual combine levels are built above the subtree roots, so the
+    concatenated per-subtree levels index exactly like the lower part of a
+    complete binary tree (subtree ``s`` node ``i`` at ``s·2^l + i`` has
+    children ``2(s·2^l+i)``, ``+1``). Gathered bytes are
+    O(P·2^top_levels) — a few hundred KB at P=256 — independent of N.
+
+    The forest has NO leaf data; walk it with ``plan_rows(...,
+    max_levels=forest.depth - k0)`` so the walk flushes at the deepest
+    gathered level instead of gathering leaf tiles.
+    """
+    levels_m = min(top_levels, tree.depth + 1)
+    my = jax.lax.axis_index(axis)
+    src = jnp.arange(n_dev, dtype=jnp.int32)
+    d = (src - my) % n_dev
+    covered = (d == 0) | (d == 1) | (d == n_dev - 1)  # local + ring stages
+    p2 = 1 << max(0, (n_dev - 1).bit_length())
+
+    gathered = []
+    for l in range(levels_m):
+        lvl = tree.levels[l]
+        g = Level(*[jax.lax.all_gather(x, axis, axis=0, tiled=False)
+                    for x in lvl])  # each field (P, 2^l, ...)
+
+        def mask_pad(x, fill):
+            m = covered.reshape((n_dev,) + (1,) * (x.ndim - 1))
+            x = jnp.where(m, jnp.asarray(fill, x.dtype), x)
+            if p2 != n_dev:
+                pad = jnp.full((p2 - n_dev,) + x.shape[1:],
+                               fill, x.dtype)
+                x = jnp.concatenate([x, pad], axis=0)
+            return x.reshape((p2 * x.shape[1],) + x.shape[2:])
+
+        gathered.append(Level(
+            aabb_min=mask_pad(g.aabb_min, EMPTY_POS),
+            aabb_max=mask_pad(g.aabb_max, EMPTY_POS),
+            com=mask_pad(g.com, EMPTY_POS),
+            mass_i=mask_pad(g.mass_i, 0),
+            count=mask_pad(g.count, 0),
+            quad=mask_pad(g.quad, 0.0),
+        ))
+
+    # Virtual top levels: pairwise combines of the P2 subtree roots up to a
+    # single root, exactly the summarize pass over the forest.
+    vlevels = [gathered[0]]
+    while vlevels[0].aabb_min.shape[0] > 1:
+        vlevels.insert(0, _combine(vlevels[0]))
+    levels = vlevels + gathered[1:]
+    w = levels[-1].aabb_min.shape[0]
+    return FlatTree(levels=levels,
+                    leaf_pos=jnp.zeros((w, 1, 2), jnp.float32),
+                    leaf_mass=jnp.zeros((w, 1), jnp.float32))
+
+
 def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                          axis: str = AXIS, config: SimConfig | None = None
                          ) -> jax.Array:
@@ -131,7 +193,10 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
     n_dev = mesh.shape[axis]
     interpret = jax.default_backend() == "cpu"
     mp = cfg.resolved_multipole()
+    rcp = cfg.resolved_rcp(bh=True)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    # forest mode needs ≥4 devices to have any ring-far subtree at all.
+    forest = cfg.resolved_far_mode() == "forest" and n_dev >= 4
 
     def local(pos_l, mass_l):
         tree = summarize_sorted(pos_l, mass_l, leaf_size=cfg.leaf_size,
@@ -144,18 +209,45 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
         tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
 
         acc = jnp.zeros((n_leaves // pl_, pl_ * S, 2), jnp.float32)
-        visiting = tree
-        for s in range(n_dev):
-            if s > 0:
-                visiting = jax.tree.map(
-                    lambda x: jax.lax.ppermute(x, axis, perm), visiting)
-            fcap, lcap = _stage_caps(cfg, min(s, n_dev - s), n_dev)
-            planned = plan_rows(visiting, own, cfg.theta, fcap, lcap,
-                                cfg.tree_arity, multipole=mp)
-            acc = acc + _grouped_force(
-                tgt, *planned[:3], softening2=cfg.softening2, rcp=cfg.resolved_rcp(bh=True),
+
+        def sweep(acc, planned):
+            return acc + _grouped_force(
+                tgt, *planned[:3], softening2=cfg.softening2, rcp=rcp,
                 interpret=interpret,
                 src_q=planned[3:] if mp == 2 else None)
+
+        if forest:
+            # Local + the two Morton-neighbor subtrees at full caps; ALL
+            # ring-far subtrees in one bounded walk over the gathered
+            # coarse forest (see _gather_forest).
+            fcap, lcap = cfg.resolved_caps()
+            back = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+            for visiting in (
+                    tree,
+                    jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm),
+                                 tree),
+                    jax.tree.map(lambda x: jax.lax.ppermute(x, axis, back),
+                                 tree)):
+                planned = plan_rows(visiting, own, cfg.theta, fcap, lcap,
+                                    cfg.tree_arity, multipole=mp)
+                acc = sweep(acc, planned)
+            ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels)
+            ff = max(16, 1 << max(0, (n_dev - 1).bit_length()))
+            k0 = min(max(ff.bit_length() - 1, 0), ftree.depth - 1)
+            planned = plan_rows(ftree, own, cfg.theta, ff, 0,
+                                arity=2, multipole=mp,
+                                max_levels=ftree.depth - k0)
+            acc = sweep(acc, planned)
+        else:
+            visiting = tree
+            for s in range(n_dev):
+                if s > 0:
+                    visiting = jax.tree.map(
+                        lambda x: jax.lax.ppermute(x, axis, perm), visiting)
+                fcap, lcap = _stage_caps(cfg, min(s, n_dev - s), n_dev)
+                planned = plan_rows(visiting, own, cfg.theta, fcap, lcap,
+                                    cfg.tree_arity, multipole=mp)
+                acc = sweep(acc, planned)
         return acc.reshape(n_leaves * S, 2)
 
     f = jax.shard_map(local, mesh=mesh,
@@ -166,12 +258,18 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
 
 def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
                              axis: str = AXIS):
-    """Full multi-chip distributed-BH step: local re-sort → local subtree →
-    ring-subtree force sweep → semi-implicit Euler. One jitted, donated
-    computation; per-device memory O(N/P) (one visiting subtree in flight).
+    """Full multi-chip distributed-BH step: local re-sort (amortized over
+    ``config.resort_every`` like the single-chip World) → local subtree →
+    ring/forest force sweep → semi-implicit Euler. Jitted, donated; per-device
+    memory O(N/P) (visiting subtrees + the KB-scale coarse forest in flight).
+
+    Returns a callable with a host-side step counter: every
+    ``resort_every``-th call runs the locally-sorting variant, the others
+    reuse the stale local order (summaries still rebuild from live
+    positions each step — the conservative walk absorbs looser AABBs,
+    exactly the single-chip ``resort_every`` contract, ops/tree.py).
     """
     cfg = config
-    n_dev = mesh.shape[axis]
     fdt = np.float32(cfg.dt)
     mbits = cfg.resolved_morton_bits()
 
@@ -184,12 +282,29 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
         in_specs=(P(axis, None), P(axis, None), P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis)))
 
-    @functools.partial(jax.jit, donate_argnums=0)
+    def make(resort: bool):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state: ParticleState) -> ParticleState:
+            if resort:
+                spos, svel, smass = sort_sharded(state.pos, state.vel,
+                                                 state.mass)
+            else:
+                spos, svel, smass = state.pos, state.vel, state.mass
+            acc = bh_distributed_accel(spos, smass, mesh, axis=axis,
+                                       config=cfg)
+            vel = svel + acc * fdt
+            pos = spos + vel * fdt
+            return state.replace(pos=pos, vel=vel, mass=smass)
+        return step
+
+    step_resort = make(True)
+    step_stale = make(False)
+    every = max(1, cfg.resort_every)
+    counter = [0]
+
     def step(state: ParticleState) -> ParticleState:
-        spos, svel, smass = sort_sharded(state.pos, state.vel, state.mass)
-        acc = bh_distributed_accel(spos, smass, mesh, axis=axis, config=cfg)
-        vel = svel + acc * fdt
-        pos = spos + vel * fdt
-        return state.replace(pos=pos, vel=vel, mass=smass)
+        fn = step_resort if counter[0] % every == 0 else step_stale
+        counter[0] += 1
+        return fn(state)
 
     return step

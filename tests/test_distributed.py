@@ -110,3 +110,83 @@ def test_distribute_state_layout():
         m = mass[d * local:(d + 1) * local]
         nreal = int((m > 0).sum())
         assert (m[:nreal] > 0).all() and (m[nreal:] == 0).all()
+
+
+def flagship_cfg(**kw):
+    """The θ=50 flagship regime: forest far-mode resolves on by default."""
+    return SimConfig(force_path="bh", theta=50.0, **kw)
+
+
+def test_forest_mode_quality_and_conservation():
+    """far_mode='forest' (θ≥2 default): all ring-far subtrees covered by one
+    bounded walk over the gathered coarse forest. Per-particle force error
+    vs the exact ring sweep must stay well inside the θ=50 walk's own
+    approximation error (~5e-2 median vs direct)."""
+    mesh = make_1d_mesh(8)
+    cfg = flagship_cfg()
+    assert cfg.resolved_far_mode() == "forest"
+    st = uniform_disc(16_384, seed=7)
+    ds = distribute_state(st, mesh, cfg)
+    got = np.asarray(bh_distributed_accel(ds.pos, ds.mass, mesh, config=cfg))
+    ring = np.asarray(bh_distributed_accel(
+        ds.pos, ds.mass, mesh, config=flagship_cfg(far_mode="ring")))
+    real = np.asarray(ds.mass) > 0
+    assert np.isfinite(got).all()
+    rel = (np.linalg.norm(got[real] - ring[real], axis=1)
+           / np.maximum(np.linalg.norm(ring[real], axis=1), 1e-12))
+    assert np.median(rel) < 0.02, np.median(rel)
+    # Mass flows through the forest exactly once: a full step conserves mass
+    # and stays finite.
+    step = make_distributed_bh_step(mesh, cfg)
+    total = float(np.asarray(st.mass).sum())
+    for _ in range(2):
+        ds = step(ds)
+    d = sharded_diagnostics(ds, mesh)
+    np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
+    assert np.isfinite(np.asarray(ds.pos)).all()
+
+
+def test_forest_matches_ring_source_mass():
+    """Every row's emitted source mass (local + 2 neighbors + forest) equals
+    total mass exactly — nothing dropped, nothing double-counted."""
+    import jax
+    from jax.sharding import PartitionSpec
+    from nbody_simulation_tpu.ops.tree import summarize_sorted
+    from nbody_simulation_tpu.ops.traversal import plan_rows
+    from nbody_simulation_tpu.parallel.bh_distributed import _gather_forest
+
+    mesh = make_1d_mesh(8)
+    cfg = flagship_cfg()
+    st = uniform_disc(8192, seed=3)
+    ds = distribute_state(st, mesh, cfg)
+    total = float(np.asarray(st.mass).astype(np.int64).sum())
+
+    def local(pos_l, mass_l):
+        tree = summarize_sorted(pos_l, mass_l, leaf_size=cfg.leaf_size,
+                                unweighted_leaf_com=cfg.unweighted_leaf_com)
+        own = tree.levels[tree.depth]
+        fcap, lcap = cfg.resolved_caps()
+        perm = [(i, (i + 1) % 8) for i in range(8)]
+        back = [(i, (i - 1) % 8) for i in range(8)]
+        msum = 0.0
+        for visiting in (tree,
+                         jax.tree.map(lambda x: jax.lax.ppermute(
+                             x, "shard", perm), tree),
+                         jax.tree.map(lambda x: jax.lax.ppermute(
+                             x, "shard", back), tree)):
+            sm = plan_rows(visiting, own, cfg.theta, fcap, lcap, 2)[2]
+            msum = msum + jnp.sum(sm, axis=1)
+        ftree = _gather_forest(tree, "shard", 8, cfg.forest_levels)
+        ff = 16
+        k0 = min(ff.bit_length() - 1, ftree.depth - 1)
+        sm = plan_rows(ftree, own, cfg.theta, ff, 0, 2,
+                       max_levels=ftree.depth - k0)[2]
+        return (msum + jnp.sum(sm, axis=1))[:, None]
+
+    import jax.numpy as jnp
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(PartitionSpec("shard", None),
+                                PartitionSpec("shard")),
+                      out_specs=PartitionSpec("shard", None), check_vma=False)
+    msums = np.asarray(f(ds.pos, ds.mass)).ravel()
+    np.testing.assert_allclose(msums, total, rtol=1e-6)
