@@ -182,28 +182,47 @@ def config5():
     tgt = tree.leaf_pos.reshape(n_leaves // pl, pl * S, 2)
     mp = cfg.resolved_multipole()
 
-    def stage_time(fcap, lcap, max_levels=None):
-        import functools
-        @functools.partial(jax.jit, static_argnames=("f", "l", "ml"))
-        def stage(tr, f=fcap, l=lcap, ml=max_levels):
-            planned = plan_rows(tr, own, cfg.theta, f, l, cfg.tree_arity,
-                                multipole=mp, max_levels=ml)
-            return _grouped_force(tgt, *planned[:3],
-                                  softening2=cfg.softening2,
-                                  rcp=cfg.resolved_rcp(bh=True),
-                                  interpret=False,
-                                  src_q=planned[3:] if mp == 2 else None)
-        sync(stage(tree))
-        t0 = time.perf_counter()
-        for _ in range(10):
-            out = stage(tree)
-        sync(out)
-        return (time.perf_counter() - t0) / 10
+    # The neighbor stage as actually executed (row refinement included);
+    # visiting=local tree is shape-identical to a real neighbor subtree,
+    # and cost is shape-determined (static planner/sweep widths).
+    from nbody_simulation_tpu.parallel.bh_distributed import _near_stage
 
-    t_near = stage_time(*cfg.resolved_caps())
+    import jax.numpy as jnp
+
+    @jax.jit
+    def near(tr):
+        acc = jnp.zeros(tgt.shape, jnp.float32)
+        return _near_stage(acc, tr, own, tgt, cfg, mp,
+                           cfg.resolved_rcp(bh=True), False)
+    sync(near(tree))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = near(tree)
+    sync(out)
+    t_near = (time.perf_counter() - t0) / 10
+
+    # Forest walk proxy: coarse rows (32 leaves/row), bounded flush-walk
+    # seeded at the local tree's 16 level-4 subtree roots.
+    plf = 32
+    own_f = tree.levels[tree.depth - (plf.bit_length() - 1)]
+    tgt_f = tree.leaf_pos.reshape(n_leaves // plf, plf * S, 2)
     k0 = min(max(16 .bit_length() - 1, 0), tree.depth - 1)
-    t_forest = stage_time(16, 0,
-                          max_levels=min(cfg.forest_levels, tree.depth - k0))
+
+    @jax.jit
+    def forest_stage(tr):
+        planned = plan_rows(tr, own_f, cfg.theta, 16, 0, 2, multipole=mp,
+                            max_levels=min(cfg.forest_levels,
+                                           tree.depth - k0))
+        return _grouped_force(tgt_f, *planned[:3],
+                              softening2=cfg.softening2,
+                              rcp=cfg.resolved_rcp(bh=True), interpret=False,
+                              src_q=planned[3:] if mp == 2 else None)
+    sync(forest_stage(tree))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = forest_stage(tree)
+    sync(out)
+    t_forest = (time.perf_counter() - t0) / 10
     t_step = t_local + 2 * t_near + t_forest
     emit(5, f"distributed-BH projected steps/s @N={N} on v5e-{P} "
             "(single-chip per-shard proxy, forest far-mode)", 1 / t_step,

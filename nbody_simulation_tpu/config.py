@@ -171,6 +171,22 @@ class SimConfig:
             return self.far_mode
         return "forest" if self.theta >= 2.0 else "ring"
 
+    # Near-stage (ring-neighbor) row refinement for the distributed forest
+    # mode: a cheap ``near_refine_levels``-deep bounded walk runs for ALL
+    # rows, then only the ``near_rows`` closest rows that still hold open
+    # nodes (the Morton-seam rows) continue to full depth; the rest flush
+    # to COM (distance-ranked, so only the farthest unresolved rows — where
+    # COM is benign — ever degrade). 0 disables (every row walks full
+    # depth). None resolves by θ: 4 levels in the θ≥2 regime, off at
+    # physics quality (exactness-parity mode).
+    near_refine_levels: int | None = None
+    near_rows: int | None = None
+
+    def resolved_near_refine(self) -> int:
+        if self.near_refine_levels is not None:
+            return self.near_refine_levels
+        return 4 if self.theta >= 2.0 else 0
+
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).
     heavy_weight: float = 10.0

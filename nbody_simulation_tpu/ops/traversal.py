@@ -476,6 +476,13 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
             for k in range(ncols):
                 src_cols[k].append(cols[k])
             lvl += step
+    if cut is not None and return_frontier:
+        # Hand the cut frontier to the caller (near-stage refinement)
+        # instead of flushing; emitted cols cover the walked levels only.
+        cols = tuple(
+            jnp.concatenate(src_cols[k], axis=1) if src_cols[k]
+            else jnp.zeros((g_rows, 0), jnp.float32) for k in range(ncols))
+        return cols, frontier, valid
     if cut is not None:
         # FLUSH: still-open frontier nodes at the cut level become COM
         # sources (close ⇒ quadrupole invalid ⇒ monopole-only, like
@@ -552,6 +559,17 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
     # (544 KB over budget). The monopole kernel carries ~8 and gets 2^19.
     area = (1 << 16) if src_q is not None else (1 << 19)
     tile_cap = min(tile_j, max(128, (area // s) // 128 * 128))
+    # Additional scoped-VMEM cap for large-s groups: the (s, gb) target and
+    # output column blocks (4, single-buffered), the double-buffered
+    # (gb, tj) source blocks, and ~T live (s, tj) tile temporaries must fit
+    # the 16 MB budget. T fitted to measured pass/fail points: s=4096/tj=128
+    # mono measured 16.38 MB (T≈4), quad s=64/tj=2048 measured 16.53 MB
+    # with 12.6 MB of source double-buffers (T≈8).
+    t_live = 8 if src_q is not None else 4
+    tgt_bytes = 4 * s * gb * 4
+    per_tj = 2 * len(srcs) * gb * 4 + t_live * s * 4
+    tile_cap = min(tile_cap,
+                   max(128, ((15 << 20) - tgt_bytes) // per_tj // 128 * 128))
     n_tiles = max(1, -(-c // tile_cap))
     tj = ceil_to(-(-c // n_tiles), 128)
     target_c = n_tiles * tj

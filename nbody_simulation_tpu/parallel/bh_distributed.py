@@ -49,7 +49,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_simulation_tpu.config import SimConfig
 from nbody_simulation_tpu.ops.morton import morton_keys, morton_sort_state
-from nbody_simulation_tpu.ops.traversal import _grouped_force, plan_rows
+from nbody_simulation_tpu.ops.traversal import (_group_node_d2,
+                                                _grouped_force, plan_rows)
 from nbody_simulation_tpu.ops.tree import (EMPTY_POS, FlatTree, Level,
                                            _combine, summarize_sorted)
 from nbody_simulation_tpu.parallel.mesh import AXIS
@@ -179,6 +180,69 @@ def _gather_forest(tree: FlatTree, axis: str, n_dev: int,
                     leaf_mass=jnp.zeros((w, 1), jnp.float32))
 
 
+def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
+                mp: int, rcp: str, interpret: bool):
+    """One full-quality visiting-subtree stage, with optional row
+    refinement: a cheap ``near_refine_levels``-deep bounded walk runs for
+    ALL rows, then a full-depth continuation for only the ``near_rows``
+    closest rows whose frontier is still open (the Morton-seam rows; most
+    rows accept a neighbor subtree within a few levels). Unresolved rows
+    beyond the cap flush to COM — distance-ranked, so only the farthest
+    unresolved rows (where COM is benign) ever degrade. Pure per-device
+    compute (no collectives), so the suite's single-chip proxy times this
+    exact function.
+    """
+    fcap, lcap = cfg.resolved_caps()
+
+    def sweep(acc, planned):
+        return acc + _grouped_force(
+            tgt, *planned[:3], softening2=cfg.softening2, rcp=rcp,
+            interpret=interpret, src_q=planned[3:] if mp == 2 else None)
+
+    depth = visiting.depth
+    k0 = min(max(fcap.bit_length() - 1, 0), depth - 1)
+    ma = cfg.resolved_near_refine()
+    cut = min(depth - 1, k0 + ma) if ma else depth
+    if not ma or cut <= k0:
+        return sweep(acc, plan_rows(visiting, own, cfg.theta, fcap, lcap,
+                                    cfg.tree_arity, multipole=mp))
+    cols, frontier, valid = plan_rows(
+        visiting, own, cfg.theta, fcap, 0, cfg.tree_arity,
+        multipole=mp, max_levels=cut - k0, return_frontier=True)
+    g = own.aabb_min.shape[0]
+    r = min(g, cfg.near_rows or max(64, g // 8))
+    deep = jnp.any(valid, axis=1)
+    root = visiting.levels[0]
+    _, _, d2 = _group_node_d2(own.aabb_min, own.aabb_max,
+                              root.aabb_min[0], root.aabb_max[0],
+                              root.com[0])
+    order = jnp.argsort(jnp.where(deep, d2, jnp.float32(jnp.inf)))
+    ids = order[:r]
+    rank = jnp.argsort(order)
+    flush_rows = deep & (rank >= r)
+    lvl = visiting.levels[cut]
+    rec = (lvl.packed_quad if mp == 2 else lvl.packed)[frontier]
+    fm = flush_rows[:, None] & valid
+    cols = list(cols)
+    cols[0] = jnp.concatenate([cols[0], rec[..., 4]], 1)
+    cols[1] = jnp.concatenate([cols[1], rec[..., 5]], 1)
+    cols[2] = jnp.concatenate([cols[2], jnp.where(fm, rec[..., 6], 0.0)], 1)
+    if mp == 2:
+        z = jnp.zeros_like(rec[..., 6])
+        for k in range(3, 6):
+            cols[k] = jnp.concatenate([cols[k], z], 1)
+    acc = sweep(acc, tuple(cols))
+    own_deep = Level(*[x[ids] for x in own])
+    deep_cols = plan_rows(
+        visiting, own_deep, cfg.theta, fcap, lcap, cfg.tree_arity,
+        multipole=mp, seed=(cut, frontier[ids], valid[ids]))
+    acc_deep = _grouped_force(
+        tgt[ids], *deep_cols[:3], softening2=cfg.softening2,
+        rcp=rcp, interpret=interpret,
+        src_q=deep_cols[3:] if mp == 2 else None)
+    return acc.at[ids].add(acc_deep)
+
+
 def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                          axis: str = AXIS, config: SimConfig | None = None
                          ) -> jax.Array:
@@ -217,27 +281,42 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                 src_q=planned[3:] if mp == 2 else None)
 
         if forest:
-            # Local + the two Morton-neighbor subtrees at full caps; ALL
-            # ring-far subtrees in one bounded walk over the gathered
-            # coarse forest (see _gather_forest).
+            # Local at full depth; the two Morton-neighbor subtrees with
+            # row refinement (_near_stage); ALL ring-far subtrees in one
+            # bounded walk over the gathered coarse forest (_gather_forest).
             fcap, lcap = cfg.resolved_caps()
             back = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+            acc = sweep(acc, plan_rows(tree, own, cfg.theta, fcap, lcap,
+                                       cfg.tree_arity, multipole=mp))
             for visiting in (
-                    tree,
                     jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm),
                                  tree),
                     jax.tree.map(lambda x: jax.lax.ppermute(x, axis, back),
                                  tree)):
-                planned = plan_rows(visiting, own, cfg.theta, fcap, lcap,
-                                    cfg.tree_arity, multipole=mp)
-                acc = sweep(acc, planned)
+                acc = _near_stage(acc, visiting, own, tgt, cfg, mp, rcp,
+                                  interpret)
             ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels)
             ff = max(16, 1 << max(0, (n_dev - 1).bit_length()))
             k0 = min(max(ff.bit_length() - 1, 0), ftree.depth - 1)
-            planned = plan_rows(ftree, own, cfg.theta, ff, 0,
+            # Coarse rows for the forest walk: far subtrees resolve high
+            # in the tree, so one planning row per 32 leaves costs 4× fewer
+            # planner gathers at identical sweep pair count; coarser group
+            # AABBs only make the conservative walk open MORE (quality ≥).
+            # 32 (s=2048) is the largest row the sweep's scoped-VMEM model
+            # admits (the 4 (s,gb) column blocks grow with s).
+            plf = max(pl_, min(32, n_leaves))
+            while n_leaves % plf:
+                plf //= 2
+            own_f = tree.levels[tree.depth - (plf.bit_length() - 1)]
+            tgt_f = tree.leaf_pos.reshape(n_leaves // plf, plf * S, 2)
+            planned = plan_rows(ftree, own_f, cfg.theta, ff, 0,
                                 arity=2, multipole=mp,
                                 max_levels=ftree.depth - k0)
-            acc = sweep(acc, planned)
+            acc_f = _grouped_force(
+                tgt_f, *planned[:3], softening2=cfg.softening2, rcp=rcp,
+                interpret=interpret,
+                src_q=planned[3:] if mp == 2 else None)
+            acc = acc + acc_f.reshape(acc.shape)
         else:
             visiting = tree
             for s in range(n_dev):
