@@ -145,90 +145,94 @@ def config5():
              "steps/s")
         return
     # Single-chip proxy for the v5e-16 flagship (N=16.7M distributed BH,
-    # far_mode="forest"): measure (a) the full distributed-BH step on a
-    # 1-device mesh at the per-shard size L = N/16 — exactly the local
-    # stage (amortized sort + subtree + plan + sweep + integrate) every
-    # chip runs — (b) one neighbor-stage plan+sweep at full caps, and
-    # (c) the forest stage as a bounded flush-walk over the local tree
-    # seeded at its 16 level-4 subtree roots (identical planner/sweep
-    # shapes and spatial interleaving to the real P=16 gathered forest).
-    # Projection for P chips: t_step ≈ t_local + 2·t_near + t_forest,
-    # assuming ppermute/all_gather overlap compute (KB-scale transfers).
-    from nbody_simulation_tpu.parallel import (distribute_state,
-                                               make_distributed_bh_step)
+    # far_mode="forest"): ONE jitted composite running the FULL per-chip
+    # step body — amortized local Morton re-sort, subtree summarize, local
+    # plan+sweep, TWO refined neighbor stages, the bounded forest walk, and
+    # the Euler integrate — with every visiting tree substituted by the
+    # local tree (shape-identical, spatially interleaved, so planner/sweep
+    # cost matches a real neighbor/forest). Collectives are KB-to-MB-scale
+    # ppermute/all_gather that XLA overlaps with compute; separately-
+    # dispatched per-stage timings overcount by ~3 ms dispatch latency per
+    # stage over the axon tunnel (measured), which the real one-module
+    # step never pays.
+    import functools
+    import jax.numpy as jnp
+    from nbody_simulation_tpu.parallel import distribute_state
+    from nbody_simulation_tpu.parallel.bh_distributed import _near_stage
+    from nbody_simulation_tpu.ops.morton import morton_sort_state
     from nbody_simulation_tpu.ops.tree import summarize_sorted
     from nbody_simulation_tpu.ops.traversal import _grouped_force, plan_rows
+    from nbody_simulation_tpu.parallel import make_1d_mesh
 
     P, N = 16, 16_777_216
     L = N // P
     cfg = SimConfig(force_path="bh")   # flagship regime: θ=50
     mesh = make_1d_mesh(1)
     st = distribute_state(uniform_disc(L, seed=0), mesh, cfg)
-    step = make_distributed_bh_step(mesh, cfg)
-    for _ in range(9):   # warm BOTH variants (resort + stale-order)
-        st = step(st)
-    sync(st)
-    t0 = time.perf_counter()
-    for _ in range(16):
-        st = step(st)
-    sync(st)
-    t_local = (time.perf_counter() - t0) / 16
-
-    tree = summarize_sorted(st.pos, st.mass, leaf_size=cfg.leaf_size,
-                            unweighted_leaf_com=cfg.unweighted_leaf_com)
-    n_leaves, S, _ = tree.leaf_pos.shape
-    pl = max(1, cfg.plan_leaves)
-    own = tree.levels[tree.depth - (pl.bit_length() - 1)]
-    tgt = tree.leaf_pos.reshape(n_leaves // pl, pl * S, 2)
     mp = cfg.resolved_multipole()
+    fcap, lcap = cfg.resolved_caps()
+    rcp = cfg.resolved_rcp(bh=True)
+    mbits = cfg.resolved_morton_bits()
+    fdt = np.float32(cfg.dt)
 
-    # The neighbor stage as actually executed (row refinement included);
-    # visiting=local tree is shape-identical to a real neighbor subtree,
-    # and cost is shape-determined (static planner/sweep widths).
-    from nbody_simulation_tpu.parallel.bh_distributed import _near_stage
+    def step_body(pos, vel, mass, resort):
+        if resort:
+            pos, vel, mass = morton_sort_state(pos, vel, mass,
+                                               cfg.world_size, bits=mbits)
+        tree = summarize_sorted(pos, mass, leaf_size=cfg.leaf_size,
+                                unweighted_leaf_com=cfg.unweighted_leaf_com)
+        n_leaves, S, _ = tree.leaf_pos.shape
+        pl_ = cfg.plan_leaves
+        own = tree.levels[tree.depth - (pl_.bit_length() - 1)]
+        tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
+        planned = plan_rows(tree, own, cfg.theta, fcap, lcap,
+                            cfg.tree_arity, multipole=mp)
+        acc = _grouped_force(tgt, *planned[:3], softening2=cfg.softening2,
+                             rcp=rcp, interpret=False,
+                             src_q=planned[3:] if mp == 2 else None)
+        pln = 8
+        own_n = tree.levels[tree.depth - (pln.bit_length() - 1)]
+        tgt_n = tree.leaf_pos.reshape(n_leaves // pln, pln * S, 2)
+        ncaps = (fcap, max(lcap, 4 * pln))
+        for _ in range(2):   # the two Morton-neighbor stages
+            acc_n = _near_stage(jnp.zeros(tgt_n.shape, jnp.float32), tree,
+                                own_n, tgt_n, cfg, mp, rcp, False,
+                                caps=ncaps)
+            acc = acc + acc_n.reshape(acc.shape)
+        plf = 32             # the forest walk (flush from level-4 roots)
+        own_f = tree.levels[tree.depth - (plf.bit_length() - 1)]
+        tgt_f = tree.leaf_pos.reshape(n_leaves // plf, plf * S, 2)
+        planned_f = plan_rows(tree, own_f, cfg.theta, 16, 0, 2,
+                              multipole=mp,
+                              max_levels=min(cfg.forest_levels,
+                                             tree.depth - 4))
+        acc_f = _grouped_force(tgt_f, *planned_f[:3],
+                               softening2=cfg.softening2, rcp=rcp,
+                               interpret=False,
+                               src_q=planned_f[3:] if mp == 2 else None)
+        acc = acc + acc_f.reshape(acc.shape)
+        accp = acc.reshape(n_leaves * S, 2)[:pos.shape[0]]
+        vel = vel + accp * fdt
+        pos = pos + vel * fdt
+        return pos, vel, mass
 
-    import jax.numpy as jnp
-
-    @jax.jit
-    def near(tr):
-        acc = jnp.zeros(tgt.shape, jnp.float32)
-        return _near_stage(acc, tr, own, tgt, cfg, mp,
-                           cfg.resolved_rcp(bh=True), False)
-    sync(near(tree))
+    step_r = jax.jit(functools.partial(step_body, resort=True),
+                     donate_argnums=(0, 1, 2))
+    step_s = jax.jit(functools.partial(step_body, resort=False),
+                     donate_argnums=(0, 1, 2))
+    pva = (st.pos, st.vel, st.mass)
+    every = max(1, cfg.resort_every)
+    for i in range(9):
+        pva = (step_r if i % every == 0 else step_s)(*pva)
+    sync(pva[0])
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = near(tree)
-    sync(out)
-    t_near = (time.perf_counter() - t0) / 10
-
-    # Forest walk proxy: coarse rows (32 leaves/row), bounded flush-walk
-    # seeded at the local tree's 16 level-4 subtree roots.
-    plf = 32
-    own_f = tree.levels[tree.depth - (plf.bit_length() - 1)]
-    tgt_f = tree.leaf_pos.reshape(n_leaves // plf, plf * S, 2)
-    k0 = min(max(16 .bit_length() - 1, 0), tree.depth - 1)
-
-    @jax.jit
-    def forest_stage(tr):
-        planned = plan_rows(tr, own_f, cfg.theta, 16, 0, 2, multipole=mp,
-                            max_levels=min(cfg.forest_levels,
-                                           tree.depth - k0))
-        return _grouped_force(tgt_f, *planned[:3],
-                              softening2=cfg.softening2,
-                              rcp=cfg.resolved_rcp(bh=True), interpret=False,
-                              src_q=planned[3:] if mp == 2 else None)
-    sync(forest_stage(tree))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        out = forest_stage(tree)
-    sync(out)
-    t_forest = (time.perf_counter() - t0) / 10
-    t_step = t_local + 2 * t_near + t_forest
+    for i in range(9, 9 + 16):
+        pva = (step_r if i % every == 0 else step_s)(*pva)
+    sync(pva[0])
+    t_step = (time.perf_counter() - t0) / 16
     emit(5, f"distributed-BH projected steps/s @N={N} on v5e-{P} "
-            "(single-chip per-shard proxy, forest far-mode)", 1 / t_step,
-         "steps/s",
-         t_local_ms=round(t_local * 1e3, 2), t_near_ms=round(t_near * 1e3, 2),
-         t_forest_ms=round(t_forest * 1e3, 2), shard=L)
+            "(single-chip composite per-shard proxy, forest far-mode)",
+         1 / t_step, "steps/s", t_step_ms=round(t_step * 1e3, 2), shard=L)
 
 
 def main():

@@ -139,11 +139,14 @@ class SimConfig:
     tree_arity: int = 2
 
     # Planning granularity: one planner row covers this many adjacent leaves
-    # (its AABB = their common ancestor). Bigger = cheaper planning, slightly
-    # more exact near-field work; the tree/COM semantics are unchanged.
-    # 8 measured 136 ups on the galaxy (vs 54 at 1) at equal-or-better
-    # force quality.
-    plan_leaves: int = 8
+    # (its AABB = their common ancestor). Bigger = cheaper planning but a
+    # wider shared near field (leaf_cap scales with pl, so sweep width
+    # grows); the tree/COM semantics are unchanged. With the batched sweep
+    # kernel, 4 measured fastest at N=1M θ=50 (10.1-11.2 ms vs 16.8 at 8 —
+    # the halved leaf list cuts sweep pairs 1.8×) while still beating the
+    # reference walk's error on the galaxy slice (median 0.149 vs 0.161,
+    # p90 0.348 vs 0.979; tests/test_ref_walk.py gates this).
+    plan_leaves: int = 4
 
     # Distributed-BH (parallel/bh_distributed.py) capacities for visiting
     # subtrees that are ring-FAR (neither the local stage nor a ring

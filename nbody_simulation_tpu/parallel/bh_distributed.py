@@ -181,7 +181,7 @@ def _gather_forest(tree: FlatTree, axis: str, n_dev: int,
 
 
 def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
-                mp: int, rcp: str, interpret: bool):
+                mp: int, rcp: str, interpret: bool, caps=None):
     """One full-quality visiting-subtree stage, with optional row
     refinement: a cheap ``near_refine_levels``-deep bounded walk runs for
     ALL rows, then a full-depth continuation for only the ``near_rows``
@@ -190,9 +190,11 @@ def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
     beyond the cap flush to COM — distance-ranked, so only the farthest
     unresolved rows (where COM is benign) ever degrade. Pure per-device
     compute (no collectives), so the suite's single-chip proxy times this
-    exact function.
+    exact function. ``caps``: (frontier, leaf) override — the caller may
+    run near stages at a coarser row granularity than the local walk, with
+    leaf caps scaled to the row size.
     """
-    fcap, lcap = cfg.resolved_caps()
+    fcap, lcap = caps if caps is not None else cfg.resolved_caps()
 
     def sweep(acc, planned):
         return acc + _grouped_force(
@@ -288,13 +290,26 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
             back = [(i, (i - 1) % n_dev) for i in range(n_dev)]
             acc = sweep(acc, plan_rows(tree, own, cfg.theta, fcap, lcap,
                                        cfg.tree_arity, multipole=mp))
+            # Near-stage rows are 8 leaves regardless of the local
+            # plan_leaves: finer rows double the refined stage's planner
+            # rows and halve its sweep tiles (measured 6.7 -> 14.8 ms at a
+            # 1M shard when the local walk moved to pl=4); leaf caps scale
+            # with the row size.
+            pln = max(pl_, min(8, n_leaves))
+            while n_leaves % pln:
+                pln //= 2
+            own_n = tree.levels[tree.depth - (pln.bit_length() - 1)]
+            tgt_n = tree.leaf_pos.reshape(n_leaves // pln, pln * S, 2)
+            ncaps = (fcap, max(lcap, 4 * pln))
             for visiting in (
                     jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm),
                                  tree),
                     jax.tree.map(lambda x: jax.lax.ppermute(x, axis, back),
                                  tree)):
-                acc = _near_stage(acc, visiting, own, tgt, cfg, mp, rcp,
-                                  interpret)
+                acc_n = _near_stage(
+                    jnp.zeros(tgt_n.shape, jnp.float32), visiting, own_n,
+                    tgt_n, cfg, mp, rcp, interpret, caps=ncaps)
+                acc = acc + acc_n.reshape(acc.shape)
             ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels)
             ff = max(16, 1 << max(0, (n_dev - 1).bit_length()))
             k0 = min(max(ff.bit_length() - 1, 0), ftree.depth - 1)

@@ -119,3 +119,20 @@ def test_walk_comparable_reference_theta50_heavy(heavy_case):
     # assert parity at median and strictly better tails.
     assert np.median(eo) <= 1.5 * np.median(er)
     assert np.percentile(eo, 90) <= np.percentile(er, 90)
+
+
+def test_walk_beats_reference_at_resolved_defaults(heavy_case):
+    """The DEFAULT θ=50 configuration (SimConfig-resolved caps and
+    plan_leaves) must beat the reference walk — this gates any retuning of
+    the performance defaults against the fidelity claim."""
+    from nbody_simulation_tpu.config import SimConfig
+    cfg = SimConfig(force_path="bh")
+    pos, mass, tree, targets, truth = heavy_case
+    er = _ref_errs(tree, pos, mass, targets, truth, 50.0)
+    f, l = cfg.resolved_caps()
+    ours = np.asarray(bh_accel(pos, mass, theta=50.0, frontier_cap=f,
+                               leaf_cap=l,
+                               plan_leaves=cfg.plan_leaves))[targets]
+    eo = _rel(ours, truth)
+    assert np.median(eo) <= np.median(er), (np.median(eo), np.median(er))
+    assert np.percentile(eo, 90) <= np.percentile(er, 90)
