@@ -167,7 +167,7 @@ class SimConfig:
     # gathered cut is far finer than what θ=50 accepts anyway), ring at
     # physics quality.
     far_mode: str | None = None
-    forest_levels: int = 8
+    forest_levels: int = 6
 
     def resolved_far_mode(self) -> str:
         if self.far_mode is not None:
@@ -188,7 +188,7 @@ class SimConfig:
     def resolved_near_refine(self) -> int:
         if self.near_refine_levels is not None:
             return self.near_refine_levels
-        return 4 if self.theta >= 2.0 else 0
+        return 3 if self.theta >= 2.0 else 0
 
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).

@@ -212,7 +212,7 @@ def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
         visiting, own, cfg.theta, fcap, 0, cfg.tree_arity,
         multipole=mp, max_levels=cut - k0, return_frontier=True)
     g = own.aabb_min.shape[0]
-    r = min(g, cfg.near_rows or max(64, g // 8))
+    r = min(g, cfg.near_rows or max(64, g // 16))
     deep = jnp.any(valid, axis=1)
     root = visiting.levels[0]
     _, _, d2 = _group_node_d2(own.aabb_min, own.aabb_max,
