@@ -213,6 +213,14 @@ class Engine:
         except BaseException as e:  # surfaced via .error / stop()
             self._error = e
         finally:
+            if self._error is None:
+                # Push the END state so a bounded run's last frame is the
+                # final step, not whatever the lossy cadence last caught
+                # (the reference never ends, so it never has this problem).
+                try:
+                    self.queue.try_push(self._render_snapshot())
+                except Exception:
+                    pass
             self.queue.close()
 
     def start(self, max_steps: int | None = None) -> None:

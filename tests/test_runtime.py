@@ -117,3 +117,22 @@ def test_engine_drops_when_consumer_slow():
         drained += 1
     eng.stop()
     assert drained == 2
+
+
+def test_engine_final_snapshot_is_end_state():
+    """A bounded run's LAST popped snapshot reflects the final step — the
+    producer pushes the end state on clean exit (the lossy cadence alone
+    can miss it entirely on fast runs)."""
+    w = World(uniform_disc(512, seed=3),
+              SimConfig(force_path="direct", render_size=64))
+    eng = Engine(w, steps_per_snapshot=10, snapshot_interval=10.0)
+    eng.start(max_steps=40)
+    last = None
+    while True:
+        s = eng.next_snapshot(timeout=5.0)
+        if s is None:
+            break
+        last = s
+    eng.join(); eng.stop()
+    assert last is not None
+    assert last.step == 40, last.step
