@@ -40,7 +40,7 @@ def config0():
     from nbody_simulation_tpu.config import SimConfig
     from nbody_simulation_tpu.models import World, galaxy
     w = World(galaxy(seed=0), SimConfig(force_path="bh"))
-    w.run(9); sync(w.state)
+    w.run(17); sync(w.state)   # ≥ resort_every+1: warm BOTH step variants
     t0 = time.perf_counter(); w.run(64); sync(w.state)
     dt = (time.perf_counter() - t0) / 64
     emit(0, "reference galaxy (151k, theta=50) ups", 1 / dt, "steps/s")
@@ -51,7 +51,7 @@ def config6():
     from nbody_simulation_tpu.models import World, uniform_disc
     n = 1_048_576
     w = World(uniform_disc(n, seed=0), SimConfig(force_path="bh"))
-    w.run(5); sync(w.state)
+    w.run(17); sync(w.state)   # ≥ resort_every+1: warm BOTH step variants
     t0 = time.perf_counter(); w.run(32); sync(w.state)
     dt = (time.perf_counter() - t0) / 32
     emit(6, "BH theta=50 N=1M particle-steps/sec", n / dt, "particle-steps/s",

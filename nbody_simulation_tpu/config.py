@@ -51,9 +51,10 @@ class SimConfig:
     # resorts the tree summaries (AABB/mass/COM) are STILL rebuilt from
     # current positions every step, so force quality is unchanged — a stale
     # order only loosens AABBs (the conservative traversal then opens a bit
-    # more). 8 ≈ the sort cost amortized to noise; set 1 to mimic the
-    # reference's full per-step rebuild exactly.
-    resort_every: int = 8
+    # more). 16 measured fastest net at a 1M shard (15.4 vs 16.25 ms
+    # composite at 8 — the dt=0.1 drift per 16 steps barely moves the
+    # AABBs); set 1 to mimic the reference's full per-step rebuild exactly.
+    resort_every: int = 16
 
     # Reference quirk (src/bvh_tree.rs:98-116): a leaf's center of gravity is
     # the UNWEIGHTED mean of its particle positions, while internal-node COMs
