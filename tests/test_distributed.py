@@ -190,3 +190,19 @@ def test_forest_matches_ring_source_mass():
                       out_specs=PartitionSpec("shard", None), check_vma=False)
     msums = np.asarray(f(ds.pos, ds.mass)).ravel()
     np.testing.assert_allclose(msums, total, rtol=1e-6)
+
+
+def test_forest_mode_non_pow2_devices():
+    """Forest gathering pads the subtree roots to a power of two — a
+    6-device ring must still run, conserve mass, and stay finite."""
+    mesh = make_1d_mesh(6)
+    cfg = flagship_cfg()
+    st = uniform_disc(6 * 1024, seed=9)
+    total = float(np.asarray(st.mass).sum())
+    ds = distribute_state(st, mesh, cfg)
+    step = make_distributed_bh_step(mesh, cfg)
+    for _ in range(2):
+        ds = step(ds)
+    assert np.isfinite(np.asarray(ds.pos)).all()
+    d = sharded_diagnostics(ds, mesh)
+    np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
