@@ -158,7 +158,8 @@ def config5():
     import functools
     import jax.numpy as jnp
     from nbody_simulation_tpu.parallel import distribute_state
-    from nbody_simulation_tpu.parallel.bh_distributed import _near_stage
+    from nbody_simulation_tpu.parallel.bh_distributed import (
+        FOREST_ROW_LEAVES, NEAR_ROW_LEAVES, _near_stage)
     from nbody_simulation_tpu.ops.morton import morton_sort_state
     from nbody_simulation_tpu.ops.tree import summarize_sorted
     from nbody_simulation_tpu.ops.traversal import _grouped_force, plan_rows
@@ -190,7 +191,7 @@ def config5():
         acc = _grouped_force(tgt, *planned[:3], softening2=cfg.softening2,
                              rcp=rcp, interpret=False,
                              src_q=planned[3:] if mp == 2 else None)
-        pln = 8
+        pln = NEAR_ROW_LEAVES
         own_n = tree.levels[tree.depth - (pln.bit_length() - 1)]
         tgt_n = tree.leaf_pos.reshape(n_leaves // pln, pln * S, 2)
         ncaps = (fcap, max(lcap, 4 * pln))
@@ -199,7 +200,7 @@ def config5():
                                 own_n, tgt_n, cfg, mp, rcp, False,
                                 caps=ncaps)
             acc = acc + acc_n.reshape(acc.shape)
-        plf = 32             # the forest walk (flush from level-4 roots)
+        plf = FOREST_ROW_LEAVES   # forest walk (flush from level-4 roots)
         own_f = tree.levels[tree.depth - (plf.bit_length() - 1)]
         tgt_f = tree.leaf_pos.reshape(n_leaves // plf, plf * S, 2)
         planned_f = plan_rows(tree, own_f, cfg.theta, 16, 0, 2,

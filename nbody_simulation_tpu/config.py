@@ -125,7 +125,14 @@ class SimConfig:
     # error for ~2× sweep flops — the route to <1e-3 force error at θ=0.5,
     # where monopole acceptance error is inherently ~1.6e-3). None resolves
     # from θ: monopole in the reference's θ≥2 regime, quadrupole below.
-    # Quadrupole assumes mass-weighted COMs (set unweighted_leaf_com=False).
+    # NOTE on the unweighted-leaf-COM quirk: the expansion about the
+    # stored COM is valid term-by-term regardless of the COM convention,
+    # but with the quirk ON an unequal-mass leaf carries a nonzero FIRST
+    # moment (dipole) that no term here corrects — the quadrupole then
+    # only buys its tightened acceptance, and total error stays
+    # quirk-dominated (measured heavy-galaxy θ=0.5: ours 1.3e-3 vs the
+    # reference walk's 1.2e-2). The <1e-3 north-star numbers are measured
+    # with unweighted_leaf_com=False (benchmarks/suite.py config 2).
     multipole: int | None = None
 
     def resolved_multipole(self) -> int:
@@ -181,7 +188,8 @@ class SimConfig:
     # nodes (the Morton-seam rows) continue to full depth; the rest flush
     # to COM (distance-ranked, so only the farthest unresolved rows — where
     # COM is benign — ever degrade). 0 disables (every row walks full
-    # depth). None resolves by θ: 4 levels in the θ≥2 regime, off at
+    # depth). None resolves by θ: 3 levels in the θ≥2 regime (variant
+    # scan at a 1M shard), off at
     # physics quality (exactness-parity mode).
     near_refine_levels: int | None = None
     near_rows: int | None = None

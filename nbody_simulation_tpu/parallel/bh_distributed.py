@@ -56,6 +56,14 @@ from nbody_simulation_tpu.ops.tree import (EMPTY_POS, FlatTree, Level,
 from nbody_simulation_tpu.parallel.mesh import AXIS
 from nbody_simulation_tpu.state import PAD_POS, ParticleState
 
+# Row granularities of the non-local stages (leaves per planning row) —
+# shared with the suite's single-chip flagship proxy (benchmarks/suite.py
+# config 5) so retunes stay in lockstep with what it measures.
+NEAR_ROW_LEAVES = 8    # refined neighbor stages (finer rows doubled their
+#                        planner cost and halved sweep tiles: 6.7->14.8 ms)
+FOREST_ROW_LEAVES = 32  # forest walk (s=2048 is the largest row the sweep's
+#                         scoped-VMEM model admits)
+
 
 def distribute_state(state: ParticleState, mesh: Mesh, config: SimConfig,
                      axis: str = AXIS) -> ParticleState:
@@ -95,10 +103,17 @@ def distribute_state(state: ParticleState, mesh: Mesh, config: SimConfig,
     cmass = chunk(mass)
     shp = NamedSharding(mesh, P(axis, None))
     shm = NamedSharding(mesh, P(axis))
+    # n_real covers the WHOLE padded layout: padding here is interleaved
+    # per device (each shard is real-first, but shard d+1's real particles
+    # sit after shard d's padding), so the package-wide "first n_real rows
+    # are live" contract (state.py) cannot name the true count — zero mass
+    # is the only live marker for distributed states (real_slice() would
+    # lie; consumers must mask by mass > 0, as diagnostics and the tests
+    # do).
     return ParticleState(jax.device_put(jnp.asarray(cpos), shp),
                          jax.device_put(jnp.asarray(cvel), shp),
                          jax.device_put(jnp.asarray(cmass), shm),
-                         n_real=n)
+                         n_real=n_dev * local)
 
 
 def _stage_caps(config: SimConfig, dist: int, n_dev: int):
@@ -112,7 +127,9 @@ def _stage_caps(config: SimConfig, dist: int, n_dev: int):
     single-chip walk at any distance.
     """
     fcap, lcap = config.resolved_caps()
-    if dist <= 1 or dist == n_dev - 1 or n_dev <= 4:
+    # Callers pass the FOLDED ring distance min(s, n_dev - s), so dist <= 1
+    # already covers both neighbors.
+    if dist <= 1 or n_dev <= 4:
         return fcap, lcap
     ff = config.far_frontier_cap or max(4, fcap // 4)
     fl = config.far_leaf_cap or max(2, lcap // 8)
@@ -295,7 +312,7 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
             # rows and halve its sweep tiles (measured 6.7 -> 14.8 ms at a
             # 1M shard when the local walk moved to pl=4); leaf caps scale
             # with the row size.
-            pln = max(pl_, min(8, n_leaves))
+            pln = max(pl_, min(NEAR_ROW_LEAVES, n_leaves))
             while n_leaves % pln:
                 pln //= 2
             own_n = tree.levels[tree.depth - (pln.bit_length() - 1)]
@@ -319,7 +336,7 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
             # AABBs only make the conservative walk open MORE (quality ≥).
             # 32 (s=2048) is the largest row the sweep's scoped-VMEM model
             # admits (the 4 (s,gb) column blocks grow with s).
-            plf = max(pl_, min(32, n_leaves))
+            plf = max(pl_, min(FOREST_ROW_LEAVES, n_leaves))
             while n_leaves % plf:
                 plf //= 2
             own_f = tree.levels[tree.depth - (plf.bit_length() - 1)]
@@ -377,6 +394,12 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
         out_specs=(P(axis, None), P(axis, None), P(axis)))
 
     def make(resort: bool):
+        # Donation is safe on BOTH variants despite the pallas-donation
+        # hazard (models/world.py:137): every sweep operand is either a
+        # planner output (fresh buffers) or the (S, G)-transposed target
+        # columns — the transpose is copy-producing, so no donated buffer
+        # aliases a pallas_call input. Measured no stall (t_local 12 ms at
+        # a 1M shard).
         @functools.partial(jax.jit, donate_argnums=0)
         def step(state: ParticleState) -> ParticleState:
             if resort:

@@ -217,8 +217,14 @@ class Engine:
                 # Push the END state so a bounded run's last frame is the
                 # final step, not whatever the lossy cadence last caught
                 # (the reference never ends, so it never has this problem).
+                # try_push is lossy — if the consumer left the queue full,
+                # drop the OLDEST queued frame to make room: the end state
+                # must win over a stale intermediate.
                 try:
-                    self.queue.try_push(self._render_snapshot())
+                    snap = self._render_snapshot()
+                    if self.queue.is_full():
+                        self.queue.pop(0.0)
+                    self.queue.try_push(snap)
                 except Exception:
                     pass
             self.queue.close()

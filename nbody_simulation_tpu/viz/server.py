@@ -188,10 +188,20 @@ class ViewerServer:
                 self.quit_requested.set()
                 self.engine._stop.set()
         changes = {}
-        if "theta" in q:
-            changes["theta"] = float(q["theta"][0])
-        if "dt" in q:
-            changes["dt"] = float(q["dt"][0])
+        # Validate before touching the running sim: a malformed or
+        # non-finite value from this unauthenticated endpoint must not
+        # crash the handler or inject NaN into the (donated) device state
+        # (pos = pos + vel*nan destroys the run irrecoverably).
+        import math
+        for key, lo in (("theta", 0.0), ("dt", None)):
+            if key in q:
+                try:
+                    v = float(q[key][0])
+                except ValueError:
+                    continue
+                if not math.isfinite(v) or (lo is not None and v < lo):
+                    continue
+                changes[key] = v
         if changes:
             self.engine.reconfigure(**changes)
 

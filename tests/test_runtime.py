@@ -108,15 +108,20 @@ def test_engine_drops_when_consumer_slow():
     eng = Engine(world, snapshot_interval=0.0)  # flume-style: every step
     eng.start(max_steps=200)
     eng.join(timeout=60)  # no consumer at all while the producer runs
-    # 200 steps but queue depth 2 and no consumer → only 2 snapshots kept,
-    # the rest were skipped without blocking physics (flume semantics).
+    # 200 steps but queue depth 2 and no consumer → 2 snapshots kept during
+    # the run (the rest skipped without blocking physics, flume semantics)
+    # plus the end-state push at shutdown, which evicts the oldest.
     assert world.updates == 200
-    assert eng.queue.pushed == 2
-    drained = 0
-    while eng.next_snapshot(timeout=1.0) is not None:
-        drained += 1
+    assert eng.queue.pushed == 3
+    drained = []
+    while True:
+        s = eng.next_snapshot(timeout=1.0)
+        if s is None:
+            break
+        drained.append(s.step)
     eng.stop()
-    assert drained == 2
+    assert len(drained) == 2
+    assert drained[-1] == 200, drained
 
 
 def test_engine_final_snapshot_is_end_state():
@@ -136,3 +141,22 @@ def test_engine_final_snapshot_is_end_state():
     eng.join(); eng.stop()
     assert last is not None
     assert last.step == 40, last.step
+
+
+def test_engine_final_snapshot_wins_over_full_queue():
+    """Even with no consumer (queue full at exit), the end state replaces
+    the oldest queued frame."""
+    w = World(uniform_disc(512, seed=3),
+              SimConfig(force_path="direct", render_size=64))
+    eng = Engine(w, queue_depth=2, steps_per_snapshot=5,
+                 snapshot_interval=0.0)
+    eng.start(max_steps=30)
+    eng.join(timeout=60)
+    last = None
+    while True:
+        s = eng.next_snapshot(timeout=1.0)
+        if s is None:
+            break
+        last = s
+    eng.stop()
+    assert last is not None and last.step == 30, last and last.step
