@@ -206,3 +206,19 @@ def test_forest_mode_non_pow2_devices():
     assert np.isfinite(np.asarray(ds.pos)).all()
     d = sharded_diagnostics(ds, mesh)
     np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
+
+
+def test_distributed_leapfrog_integrator():
+    """config.integrator='leapfrog' is honored (two distributed force
+    evaluations per step), runs, conserves mass, stays finite."""
+    mesh = make_1d_mesh(4)
+    cfg = SimConfig(force_path="bh", theta=50.0, integrator="leapfrog")
+    st = uniform_disc(4 * 512, seed=11)
+    total = float(np.asarray(st.mass).sum())
+    ds = distribute_state(st, mesh, cfg)
+    step = make_distributed_bh_step(mesh, cfg)
+    for _ in range(2):
+        ds = step(ds)
+    assert np.isfinite(np.asarray(ds.pos)).all()
+    d = sharded_diagnostics(ds, mesh)
+    np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
