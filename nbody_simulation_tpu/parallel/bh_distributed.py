@@ -371,8 +371,10 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
                              axis: str = AXIS):
     """Full multi-chip distributed-BH step: local re-sort (amortized over
     ``config.resort_every`` like the single-chip World) → local subtree →
-    ring/forest force sweep → semi-implicit Euler. Jitted, donated; per-device
-    memory O(N/P) (visiting subtrees + the KB-scale coarse forest in flight).
+    ring/forest force sweep → integrate (semi-implicit Euler, or leapfrog
+    with two distributed force evaluations when ``config.integrator`` says
+    so — same contract as World). Jitted, donated; per-device memory
+    O(N/P) (visiting subtrees + the KB-scale coarse forest in flight).
 
     Returns a callable with a host-side step counter: every
     ``resort_every``-th call runs the locally-sorting variant, the others
@@ -409,8 +411,15 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
                 spos, svel, smass = state.pos, state.vel, state.mass
             acc = bh_distributed_accel(spos, smass, mesh, axis=axis,
                                        config=cfg)
-            vel = svel + acc * fdt
-            pos = spos + vel * fdt
+            if cfg.integrator == "leapfrog":
+                v_half = svel + acc * (fdt * np.float32(0.5))
+                pos = spos + v_half * fdt
+                acc2 = bh_distributed_accel(pos, smass, mesh, axis=axis,
+                                            config=cfg)
+                vel = v_half + acc2 * (fdt * np.float32(0.5))
+            else:
+                vel = svel + acc * fdt
+                pos = spos + vel * fdt
             return state.replace(pos=pos, vel=vel, mass=smass)
         return step
 
