@@ -5,10 +5,11 @@ from nbody_simulation_tpu.parallel.sharded_step import (
 from nbody_simulation_tpu.parallel.bh_sharded import (
     bh_sharded_accel, make_sharded_bh_step)
 from nbody_simulation_tpu.parallel.bh_distributed import (
-    bh_distributed_accel, distribute_state, make_distributed_bh_step)
+    bh_distributed_accel, distribute_state, make_distributed_bh_step,
+    rebalance_state)
 
 __all__ = ["make_1d_mesh", "shard_state", "ring_allpairs_accel",
            "make_sharded_step", "sharded_diagnostics",
            "bh_sharded_accel", "make_sharded_bh_step",
            "bh_distributed_accel", "distribute_state",
-           "make_distributed_bh_step"]
+           "make_distributed_bh_step", "rebalance_state"]

@@ -116,6 +116,25 @@ def distribute_state(state: ParticleState, mesh: Mesh, config: SimConfig,
                          n_real=n_dev * local)
 
 
+def rebalance_state(state: ParticleState, mesh: Mesh, config: SimConfig,
+                    axis: str = AXIS) -> ParticleState:
+    """Host-side global re-partition of a drifted distributed state.
+
+    Between rebalances each device re-sorts only its own shard, so global
+    ownership goes stale as particles drift across Morton boundaries —
+    physics stays correct (the conservative walk absorbs overlapping shard
+    AABBs) but near/forest stages gradually open more. Production cadence:
+    every O(10³) steps, or when step time creeps. Zero-mass padding rows
+    are dropped before re-partitioning, so repeated rebalances don't
+    accumulate padding.
+    """
+    mass = np.asarray(state.mass)
+    real = mass > 0
+    live = ParticleState.create(np.asarray(state.pos)[real],
+                                np.asarray(state.vel)[real], mass[real])
+    return distribute_state(live, mesh, config, axis=axis)
+
+
 def _stage_caps(config: SimConfig, dist: int, n_dev: int):
     """Frontier/leaf caps for a visiting subtree at ring distance ``dist``.
 

@@ -222,3 +222,28 @@ def test_distributed_leapfrog_integrator():
     assert np.isfinite(np.asarray(ds.pos)).all()
     d = sharded_diagnostics(ds, mesh)
     np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
+
+
+def test_rebalance_state_after_drift():
+    """Host-side rebalance: re-partitions a drifted distributed state,
+    preserves the real-particle count exactly, and the step keeps running
+    on the fresh ownership."""
+    mesh = make_1d_mesh(4)
+    cfg = flagship_cfg()
+    st = uniform_disc(4 * 512, seed=12)
+    total = float(np.asarray(st.mass).sum())
+    ds = distribute_state(st, mesh, cfg)
+    step = make_distributed_bh_step(mesh, cfg)
+    for _ in range(3):
+        ds = step(ds)
+    from nbody_simulation_tpu.parallel import rebalance_state
+    ds2 = rebalance_state(ds, mesh, cfg)
+    assert int((np.asarray(ds2.mass) > 0).sum()) == 4 * 512
+    # repeated rebalance does not accumulate padding
+    ds3 = rebalance_state(ds2, mesh, cfg)
+    assert ds3.n == ds2.n
+    step2 = make_distributed_bh_step(mesh, cfg)
+    ds3 = step2(ds3)
+    assert np.isfinite(np.asarray(ds3.pos)).all()
+    d = sharded_diagnostics(ds3, mesh)
+    np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
