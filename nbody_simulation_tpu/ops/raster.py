@@ -28,12 +28,15 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("world_size", "render_size",
-                                             "heavy_weight"))
-def render_frame(pos: jax.Array, vel: jax.Array, mass: jax.Array,
-                 world_size: float = 100_000.0, render_size: int = 1250,
-                 heavy_weight: float = 10.0) -> jax.Array:
-    """RGBA u8 framebuffer of shape (render_size, render_size, 4)."""
+def accumulate_pixels(pos: jax.Array, vel: jax.Array, mass: jax.Array,
+                      world_size: float, render_size: int,
+                      heavy_weight: float):
+    """The three commutative per-pixel reductions + the tint of the last
+    light hit: ``(green i32, count i32, last i32, vlast i32)``, each flat
+    (npix,). ``last`` is the particle-ARRAY index (-1 = none) — the merge
+    key that makes the scatter order-free; the distributed renderer
+    (parallel/raster.py) offsets it per shard and merges shards with
+    pmax/psum before colorizing."""
     n = pos.shape[0]
     npix = render_size * render_size
     scale = int(world_size) // render_size  # integer scale (src/main.rs:51)
@@ -49,7 +52,7 @@ def render_frame(pos: jax.Array, vel: jax.Array, mass: jax.Array,
     light = ~heavy
 
     green = (jnp.zeros(npix, jnp.int32)
-             .at[pix].max(heavy.astype(jnp.int32), mode="drop")) > 0
+             .at[pix].max(heavy.astype(jnp.int32), mode="drop"))
     count = (jnp.zeros(npix, jnp.int32)
              .at[pix].add(light.astype(jnp.int32), mode="drop"))
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -62,17 +65,33 @@ def render_frame(pos: jax.Array, vel: jax.Array, mass: jax.Array,
     speed = jnp.where(jnp.isnan(speed), 0.0, speed)
     v8 = jnp.clip(speed, 0.0, 255.0).astype(jnp.int32)
     vterm = jnp.int32(0x10) + jnp.minimum(v8, jnp.int32(0xEF))
-
     vlast = jnp.where(last >= 0, vterm[jnp.maximum(last, 0)], 0)
-    lit = count > 0
+    return green, count, last, vlast
 
-    r = jnp.where(green, 0, jnp.where(lit, 0xFF, 0))
-    g = jnp.where(green, 0xFF, jnp.where(lit, 0xFF - vlast, 0))
-    b = jnp.where(green, 0, jnp.where(lit, 0xFF - vlast, 0))
-    a = jnp.where(green, 0xFF,
+
+def colorize_pixels(green: jax.Array, count: jax.Array, vlast: jax.Array,
+                    render_size: int) -> jax.Array:
+    """Per-pixel reductions → RGBA u8 frame (the src/main.rs:55-68 rules)."""
+    grn = green > 0
+    lit = count > 0
+    r = jnp.where(grn, 0, jnp.where(lit, 0xFF, 0))
+    g = jnp.where(grn, 0xFF, jnp.where(lit, 0xFF - vlast, 0))
+    b = jnp.where(grn, 0, jnp.where(lit, 0xFF - vlast, 0))
+    a = jnp.where(grn, 0xFF,
                   jnp.where(lit, jnp.minimum(10 * count, 250), 0))
     frame = jnp.stack([r, g, b, a], axis=-1).astype(jnp.uint8)
     return frame.reshape(render_size, render_size, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("world_size", "render_size",
+                                             "heavy_weight"))
+def render_frame(pos: jax.Array, vel: jax.Array, mass: jax.Array,
+                 world_size: float = 100_000.0, render_size: int = 1250,
+                 heavy_weight: float = 10.0) -> jax.Array:
+    """RGBA u8 framebuffer of shape (render_size, render_size, 4)."""
+    green, count, _, vlast = accumulate_pixels(
+        pos, vel, mass, world_size, render_size, heavy_weight)
+    return colorize_pixels(green, count, vlast, render_size)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "world_size",

@@ -247,3 +247,29 @@ def test_rebalance_state_after_drift():
     assert np.isfinite(np.asarray(ds3.pos)).all()
     d = sharded_diagnostics(ds3, mesh)
     np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
+
+
+def test_sharded_render_pixel_exact():
+    """Distributed render (per-shard partial rasters + pmax/psum merge)
+    matches the single-chip render of the concatenated arrays PIXEL-EXACT,
+    including the last-light-wins color rule across shard boundaries."""
+    from nbody_simulation_tpu.ops.raster import render_frame
+    from nbody_simulation_tpu.parallel import sharded_render_frame
+
+    mesh = make_1d_mesh(8)
+    cfg = flagship_cfg(render_size=128)
+    rng = np.random.default_rng(3)
+    n = 8 * 512
+    st = uniform_disc(n, seed=3)
+    # Heavy particles + many pixel collisions to exercise every merge rule.
+    mass = np.asarray(st.mass).copy()
+    mass[rng.choice(n, 5, replace=False)] = 1e6
+    st = st.replace(mass=jnp.asarray(mass))
+    ds = distribute_state(st, mesh, cfg)
+
+    got = np.asarray(sharded_render_frame(
+        ds.pos, ds.vel, ds.mass, mesh, render_size=cfg.render_size))
+    want = np.asarray(render_frame(
+        ds.pos, ds.vel, ds.mass, render_size=cfg.render_size))
+    np.testing.assert_array_equal(got, want)
+    assert int((got[..., 3] > 0).sum()) > 100  # the frame is actually lit
