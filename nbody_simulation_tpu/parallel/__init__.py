@@ -7,11 +7,12 @@ from nbody_simulation_tpu.parallel.bh_sharded import (
 from nbody_simulation_tpu.parallel.bh_distributed import (
     bh_distributed_accel, distribute_state, make_distributed_bh_step,
     rebalance_state)
-from nbody_simulation_tpu.parallel.raster import sharded_render_frame
+from nbody_simulation_tpu.parallel.raster import (
+    sharded_render_frame, simulate_distributed)
 
 __all__ = ["make_1d_mesh", "shard_state", "ring_allpairs_accel",
            "make_sharded_step", "sharded_diagnostics",
            "bh_sharded_accel", "make_sharded_bh_step",
            "bh_distributed_accel", "distribute_state",
            "make_distributed_bh_step", "rebalance_state",
-           "sharded_render_frame"]
+           "sharded_render_frame", "simulate_distributed"]

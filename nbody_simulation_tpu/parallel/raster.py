@@ -68,3 +68,36 @@ def sharded_render_frame(pos: jax.Array, vel: jax.Array, mass: jax.Array,
                       in_specs=(P(axis, None), P(axis, None), P(axis)),
                       out_specs=P(), check_vma=False)
     return f(pos, vel, mass)
+
+
+def simulate_distributed(state, mesh: Mesh, config, steps: int,
+                         snapshot_every: int = 0, on_frame=None,
+                         rebalance_every: int = 0, axis: str = AXIS):
+    """Engine-style loop for distributed runs: step → render → callback.
+
+    The single-chip Engine wraps a World; distributed states instead drive
+    this host loop — ``snapshot_every`` steps between on-device sharded
+    renders (``on_frame(step, rgba_np)`` receives the merged frame), and an
+    optional ``rebalance_every`` cadence re-partitions drifted ownership
+    (bh_distributed.rebalance_state; the step closure is rebuilt so its
+    resort counter restarts aligned). Returns the final state.
+    """
+    import numpy as np
+
+    from nbody_simulation_tpu.parallel.bh_distributed import (
+        make_distributed_bh_step, rebalance_state)
+
+    step = make_distributed_bh_step(mesh, config, axis=axis)
+    for i in range(1, steps + 1):
+        state = step(state)
+        if snapshot_every and on_frame and i % snapshot_every == 0:
+            frame = sharded_render_frame(
+                state.pos, state.vel, state.mass, mesh, axis=axis,
+                world_size=config.world_size,
+                render_size=config.render_size,
+                heavy_weight=config.heavy_weight)
+            on_frame(i, np.asarray(frame))
+        if rebalance_every and i < steps and i % rebalance_every == 0:
+            state = rebalance_state(state, mesh, config, axis=axis)
+            step = make_distributed_bh_step(mesh, config, axis=axis)
+    return state

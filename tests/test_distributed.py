@@ -273,3 +273,24 @@ def test_sharded_render_pixel_exact():
         ds.pos, ds.vel, ds.mass, render_size=cfg.render_size))
     np.testing.assert_array_equal(got, want)
     assert int((got[..., 3] > 0).sum()) > 100  # the frame is actually lit
+
+
+def test_simulate_distributed_loop():
+    """The distributed engine-style loop: steps, periodic sharded renders
+    via callback, periodic rebalance — finite, frames lit, mass conserved."""
+    from nbody_simulation_tpu.parallel import simulate_distributed
+
+    mesh = make_1d_mesh(4)
+    cfg = flagship_cfg(render_size=128)
+    st = uniform_disc(4 * 512, seed=13)
+    total = float(np.asarray(st.mass).sum())
+    ds = distribute_state(st, mesh, cfg)
+    frames = []
+    ds = simulate_distributed(ds, mesh, cfg, steps=6, snapshot_every=3,
+                              on_frame=lambda i, f: frames.append((i, f)),
+                              rebalance_every=4)
+    assert [i for i, _ in frames] == [3, 6]
+    assert all(int((f[..., 3] > 0).sum()) > 50 for _, f in frames)
+    assert np.isfinite(np.asarray(ds.pos)).all()
+    d = sharded_diagnostics(ds, mesh)
+    np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
