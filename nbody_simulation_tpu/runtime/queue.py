@@ -75,7 +75,11 @@ class SnapshotQueue:
         self._lib = None if force_python else _build_lib()
         if self._lib is not None:
             self._h = ctypes.c_void_p(self._lib.sq_create(capacity, slot_bytes))
-            self._buf = ctypes.create_string_buffer(slot_bytes)
+            # Per-thread receive buffer: sq_pop memcpys under the native mutex
+            # but we read the bytes back *after* it returns, so concurrent
+            # pops (engine shutdown push-evict vs consumer) must not share one
+            # buffer.
+            self._tls = threading.local()
         else:  # pure-Python fallback
             self._dq: deque[bytes] = deque()
             self._cv = threading.Condition()
@@ -104,11 +108,14 @@ class SnapshotQueue:
     def pop(self, timeout: float | None = None) -> bytes | None:
         """Blocking pop; None on timeout or when closed-and-drained."""
         if self._lib is not None:
+            buf = getattr(self._tls, "buf", None)
+            if buf is None:
+                buf = self._tls.buf = ctypes.create_string_buffer(self.slot_bytes)
             t = -1 if timeout is None else int(timeout * 1000)
-            r = self._lib.sq_pop(self._h, self._buf, self.slot_bytes, t)
+            r = self._lib.sq_pop(self._h, buf, self.slot_bytes, t)
             if r < 0:
                 return None
-            return self._buf.raw[:r]
+            return buf.raw[:r]
         with self._cv:
             deadline = None if timeout is None else time.monotonic() + timeout
             while not self._dq and not self._closed:
