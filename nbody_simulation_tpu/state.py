@@ -33,27 +33,34 @@ PAD_POS = -1.0e6
 class ParticleState:
     """Immutable SoA particle state pytree."""
 
-    __slots__ = ("pos", "vel", "mass", "n_real")
+    __slots__ = ("pos", "vel", "mass", "n_real", "distributed")
 
     def __init__(self, pos: jax.Array, vel: jax.Array, mass: jax.Array,
-                 n_real: int | None = None):
+                 n_real: int | None = None, distributed: bool = False):
         self.pos = pos
         self.vel = vel
         self.mass = mass
         self.n_real = int(n_real) if n_real is not None else int(pos.shape[0])
+        # Distributed layouts interleave per-shard padding (shard d+1's real
+        # rows sit after shard d's padding), so "first n_real rows are live"
+        # does not hold — zero mass is the only live marker. real_slice()
+        # refuses such states instead of silently returning padding.
+        self.distributed = bool(distributed)
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return (self.pos, self.vel, self.mass), self.n_real
+        return (self.pos, self.vel, self.mass), (self.n_real, self.distributed)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         pos, vel, mass = children
+        n_real, distributed = aux if isinstance(aux, tuple) else (aux, False)
         obj = object.__new__(cls)
         object.__setattr__(obj, "pos", pos)
         object.__setattr__(obj, "vel", vel)
         object.__setattr__(obj, "mass", mass)
-        object.__setattr__(obj, "n_real", aux)
+        object.__setattr__(obj, "n_real", n_real)
+        object.__setattr__(obj, "distributed", distributed)
         return obj
 
     # -- construction -------------------------------------------------------
@@ -91,9 +98,26 @@ class ParticleState:
         )
 
     def real_slice(self) -> "ParticleState":
-        """Drop padding (host-side convenience; not for use under jit)."""
+        """Drop padding (host-side convenience; not for use under jit).
+
+        Refuses distributed (interleaved-padding) layouts — use
+        ``compact()`` for those.
+        """
+        if self.distributed:
+            raise ValueError(
+                "real_slice() on a distributed state would return interleaved"
+                " padding as live rows; use ParticleState.compact() instead")
         k = self.n_real
         return ParticleState(self.pos[:k], self.vel[:k], self.mass[:k], k)
+
+    def compact(self) -> "ParticleState":
+        """Gather the live (mass > 0) rows of any layout into a compact
+        single-host state (host-side; pulls full N to the host)."""
+        import numpy as np
+        mass = np.asarray(self.mass)
+        live = mass > 0
+        return ParticleState.create(np.asarray(self.pos)[live],
+                                    np.asarray(self.vel)[live], mass[live])
 
     def replace(self, **kw: Any) -> "ParticleState":
         return ParticleState(
@@ -101,7 +125,9 @@ class ParticleState:
             kw.get("vel", self.vel),
             kw.get("mass", self.mass),
             n_real=kw.get("n_real", self.n_real),
+            distributed=kw.get("distributed", self.distributed),
         )
 
     def __repr__(self) -> str:
-        return f"ParticleState(n={self.n}, n_real={self.n_real})"
+        return (f"ParticleState(n={self.n}, n_real={self.n_real}"
+                + (", distributed" if self.distributed else "") + ")")
