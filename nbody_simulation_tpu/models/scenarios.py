@@ -137,6 +137,81 @@ def uniform_disc(n: int, seed: int = 0, radius: float = 25_000.0,
     return ParticleState.create(pos, vel, np.ones(n, np.float32))
 
 
+def _chunk_bounds(n: int, pid: int, nproc: int) -> tuple[int, int]:
+    """Row range [lo, hi) of process ``pid``'s chunk of ``n`` rows."""
+    base, rem = divmod(n, nproc)
+    lo = pid * base + min(pid, rem)
+    return lo, lo + base + (1 if pid < rem else 0)
+
+
+def galaxy_chunk(pid: int, nproc: int, seed: int = 0,
+                 world_size: float = 100_000.0,
+                 n_random: int = 100_000) -> ParticleState:
+    """Process ``pid``'s chunk of the galaxy scenario (multi-host init).
+
+    The union over all ``nproc`` chunks is the reference scenario: the two
+    heavy bodies (process 0) and the annulus are EXACTLY the single-process
+    particles (the annulus keep-draw is a deterministic function of
+    ``seed`` over the O(√N)-sized lattice, so each process evaluates the
+    full lattice mask — KBs — and keeps only its band), while the
+    ``n_random`` disc bodies are split evenly with per-process derived
+    seeds (same distribution; per-process host memory stays O(N/nproc),
+    which is the point — reference src/main.rs:275-346 builds the whole
+    thing in one Vec).
+
+    ``nproc == 1`` returns ``galaxy(seed, ...)`` bitwise.
+    """
+    if nproc == 1:
+        return galaxy(seed=seed, world_size=world_size, n_random=n_random)
+    full = galaxy(seed=seed, world_size=world_size, n_random=0)
+    n_struct = full.n  # 2 heavy + annulus — O(√world) rows, cheap everywhere
+    lo, hi = _chunk_bounds(n_struct, pid, nproc)
+    pos = [np.asarray(full.pos[lo:hi])]
+    vel = [np.asarray(full.vel[lo:hi])]
+    mass = [np.asarray(full.mass[lo:hi])]
+    dlo, dhi = _chunk_bounds(n_random, pid, nproc)
+    if dhi > dlo:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 977, pid]))
+        offset = np.array([50_000.0, 50_000.0], np.float32)
+        rpos = _rand_disc(rng, dhi - dlo) * np.float32(25_000.0) + offset
+        pos.append(rpos)
+        vel.append(_rand_disc(rng, dhi - dlo))
+        mass.append(np.ones(dhi - dlo, np.float32))
+    return ParticleState.create(
+        np.concatenate(pos), np.concatenate(vel), np.concatenate(mass))
+
+
+def scenario_chunk(name: str, pid: int, nproc: int, seed: int = 0,
+                   exact: bool = False, **kw) -> ParticleState:
+    """Process ``pid``'s chunk of a named scenario for multi-host init.
+
+    ``exact=False`` (production): each process generates only its rows with
+    a derived per-process seed — O(N/nproc) host memory, union has the same
+    distribution as the single-process scenario but a different RNG
+    realization. ``exact=True`` (testing/parity): each process generates
+    the FULL scenario and slices its row band — O(N) transient host memory,
+    union bitwise equal to the single-process particle set regardless of
+    ``nproc``.
+    """
+    if name == "galaxy":
+        return galaxy_chunk(pid, nproc, seed=seed, **kw)
+    gen = {"uniform": uniform_disc, "plummer": plummer,
+           "collision": collision}[name]
+    # collision's two heavy cores are structural — streaming per-process
+    # seeds would duplicate them nproc times, so it always takes the
+    # exact-slice path.
+    if exact or nproc == 1 or name == "collision":
+        full = gen(seed=seed, **kw)
+        lo, hi = _chunk_bounds(full.n, pid, nproc)
+        return ParticleState.create(np.asarray(full.pos[lo:hi]),
+                                    np.asarray(full.vel[lo:hi]),
+                                    np.asarray(full.mass[lo:hi]))
+    pseed = np.random.SeedSequence([seed, 7919, pid]).generate_state(1)[0]
+    n = kw.pop("n")
+    lo, hi = _chunk_bounds(n, pid, nproc)
+    return gen(hi - lo, seed=int(pseed), **kw)
+
+
 def plummer(n: int, seed: int = 0, scale_radius: float = 5_000.0,
             center=(50_000.0, 50_000.0), total_mass: float | None = None,
             world_size: float = 100_000.0) -> ParticleState:

@@ -29,10 +29,11 @@ Padding particles (mass <= 0) get key INT32_MAX so they always sort last.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 MORTON_BITS = 15
-PAD_KEY = jnp.int32(2**31 - 1)
+PAD_KEY = np.int32(2**31 - 1)  # numpy scalar — see ops/tree.py:BIG
 
 
 def _spread_bits(v: jax.Array) -> jax.Array:

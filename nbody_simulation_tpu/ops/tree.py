@@ -32,14 +32,16 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from nbody_simulation_tpu.ops.morton import morton_order
 
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)  # numpy scalar: a jnp constant at import
+#     time would initialize the XLA backend before jax.distributed can run
 # Empty nodes collapse to a far-away point: zero-size AABB (always passes the
 # theta test) + zero mass (zero force), so they cost nothing to traverse.
-EMPTY_POS = jnp.float32(2.0e5)
+EMPTY_POS = np.float32(2.0e5)
 
 
 class Level(NamedTuple):

@@ -1,0 +1,157 @@
+"""Multi-host runtime (parallel/multihost.py, run_multihost.py): REAL
+multi-process meshes on one machine — two subprocesses, each with 4 virtual
+CPU devices, joined by jax.distributed over a loopback coordinator with
+Gloo cross-process collectives. Asserts the 2-process run reproduces the
+single-process distributed run on the same 8-device layout.
+
+(The in-process tests below additionally cover the single-process init path
+and the multihost_state == distribute_state layout contract.)
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(pid: int, nproc: int, port: int, extra=()):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.Popen(
+        [sys.executable, "-m", "nbody_simulation_tpu.run_multihost",
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", str(nproc), "--process-id", str(pid),
+         "--scenario", "uniform", "--n", "2048", "--steps", "2",
+         "--rebalance-every", "0", "--exact-chunks",
+         "--cpu-devices", "4", *extra],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+
+def _single_process_reference():
+    """The same workload on this test's virtual 8-device mesh."""
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models.scenarios import uniform_disc
+    from nbody_simulation_tpu.parallel import (distribute_state, make_1d_mesh,
+                                               make_distributed_bh_step,
+                                               sharded_diagnostics)
+
+    cfg = SimConfig(force_path="bh", theta=50.0, dt=0.1)
+    mesh = make_1d_mesh(8)
+    ds = distribute_state(uniform_disc(2048, seed=0), mesh, cfg)
+    step = make_distributed_bh_step(mesh, cfg)
+    for _ in range(2):
+        ds = step(ds)
+    d = sharded_diagnostics(ds, mesh)
+    return float(d["total_mass"]), float(d["kinetic_energy"])
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single_process():
+    """2 processes × 4 devices, exact chunking, no rebalance: the canonical
+    layout (collective global Morton sort) is process-count-independent, so
+    2 distributed steps land on the same state as the single-process run —
+    total mass exactly, KE to fp32 tolerance."""
+    port = _free_port()
+    p1 = _launch(1, 2, port)
+    p0 = _launch(0, 2, port)
+    try:
+        out0, _ = p0.communicate(timeout=900)
+        out1, _ = p1.communicate(timeout=120)
+    finally:
+        for p in (p0, p1):
+            if p.poll() is None:
+                p.kill()
+    assert p0.returncode == 0, out0
+    assert p1.returncode == 0, out1
+    assert "processes: 2, devices: 8 (4 local)" in out0, out0
+    assert "len: 2048" in out0, out0
+    done = [l for l in out0.splitlines() if l.startswith("done:")]
+    assert done, out0
+    mass = float(done[0].split("mass ")[1].split(",")[0])
+    ke = float(done[0].split("ke ")[1])
+    want_mass, want_ke = _single_process_reference()
+    assert mass == want_mass, (mass, want_mass)
+    np.testing.assert_allclose(ke, want_ke, rtol=1e-5)
+
+
+def test_init_distributed_single_process_active():
+    """The init call path is active under one process: a subprocess with no
+    distributed env at all still initializes a 1-process cluster and runs
+    end to end (the round-2 gap: no jax.distributed.initialize anywhere)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import os; os.environ['XLA_FLAGS']="
+         "'--xla_force_host_platform_device_count=4'\n"
+         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+         "from nbody_simulation_tpu.parallel.multihost import ("
+         "init_distributed, is_initialized)\n"
+         "assert not is_initialized()\n"
+         "init_distributed()\n"
+         "assert is_initialized()\n"
+         "init_distributed()  # idempotent\n"
+         "assert jax.process_count() == 1\n"
+         "print('ok', len(jax.devices()))"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ok 4" in r.stdout
+
+
+def test_multihost_state_matches_distribute_state():
+    """Single-process multihost_state == distribute_state bitwise: the
+    collective repartition of the raw chunk reproduces the host-side
+    canonical layout."""
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models.scenarios import scenario_chunk
+    from nbody_simulation_tpu.parallel import distribute_state, make_1d_mesh
+    from nbody_simulation_tpu.parallel.multihost import multihost_state
+
+    cfg = SimConfig(force_path="bh", theta=50.0)
+    mesh = make_1d_mesh(8)
+    chunk = scenario_chunk("uniform", 0, 1, seed=5, n=3000)
+    got = multihost_state(chunk, mesh, cfg)
+    want = distribute_state(chunk, mesh, cfg)
+    assert got.distributed and got.pos.shape == want.pos.shape
+    np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(want.pos))
+    np.testing.assert_array_equal(np.asarray(got.mass), np.asarray(want.mass))
+
+
+def test_scenario_chunks_partition_exactly():
+    """exact=True chunks partition the single-process particle set bitwise;
+    galaxy chunks preserve the heavy bodies + annulus exactly and the disc
+    count exactly."""
+    from nbody_simulation_tpu.models.scenarios import (galaxy, scenario_chunk,
+                                                       uniform_disc)
+
+    full = uniform_disc(1000, seed=3)
+    parts = [scenario_chunk("uniform", i, 3, seed=3, exact=True, n=1000)
+             for i in range(3)]
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(p.pos) for p in parts]),
+        np.asarray(full.pos))
+    assert sum(p.n for p in parts) == 1000
+
+    g = galaxy(seed=0, n_random=0)  # heavy + annulus, the structural part
+    chunks = [scenario_chunk("galaxy", i, 4, seed=0, n_random=400)
+              for i in range(4)]
+    n_struct = sum(c.n for c in chunks) - 400
+    assert n_struct == g.n
+    heavy = np.concatenate([np.asarray(c.mass)[np.asarray(c.mass) > 1] for c in chunks])
+    np.testing.assert_array_equal(np.sort(heavy),
+                                  np.sort(np.asarray(g.mass)[np.asarray(g.mass) > 1]))
