@@ -5,6 +5,9 @@ from nbody_simulation_tpu.ops.force import (
 )
 from nbody_simulation_tpu.ops.allpairs import allpairs_accel
 from nbody_simulation_tpu.ops.allpairs_grad import allpairs_accel_diff
+from nbody_simulation_tpu.ops.energy import (allpairs_potential,
+                                             kinetic_energy,
+                                             potential_energy, total_energy)
 from nbody_simulation_tpu.ops.integrate import euler_step, leapfrog_step
 from nbody_simulation_tpu.ops.morton import morton_encode, morton_order
 from nbody_simulation_tpu.ops.tree import build_tree, summarize_sorted
@@ -17,6 +20,10 @@ __all__ = [
     "direct_accel",
     "allpairs_accel",
     "allpairs_accel_diff",
+    "allpairs_potential",
+    "kinetic_energy",
+    "potential_energy",
+    "total_energy",
     "euler_step",
     "leapfrog_step",
     "morton_encode",

@@ -52,11 +52,52 @@ def sharded_diagnostics(state: ParticleState, mesh: Mesh, axis: str = AXIS):
         ke = jax.lax.psum(jnp.sum(0.5 * mass_l * jnp.sum(vel_l ** 2, -1)), axis)
         mtot = jax.lax.psum(jnp.sum(mass_l), axis)
         com = jax.lax.psum(jnp.sum(pos_l * m, axis=0), axis) / mtot
-        return mom, ke, mtot, com
+        nlive = jax.lax.psum(jnp.sum((mass_l > 0).astype(jnp.int32)), axis)
+        return mom, ke, mtot, com, nlive
 
     f = jax.shard_map(local, mesh=mesh,
                       in_specs=(P(axis, None), P(axis, None), P(axis)),
-                      out_specs=(P(), P(), P(), P()))
-    mom, ke, mtot, com = f(state.pos, state.vel, state.mass)
+                      out_specs=(P(), P(), P(), P(), P()))
+    mom, ke, mtot, com, nlive = f(state.pos, state.vel, state.mass)
     return {"momentum": mom, "kinetic_energy": ke,
-            "total_mass": mtot, "center_of_mass": com}
+            "total_mass": mtot, "center_of_mass": com, "n_live": nlive}
+
+
+def sharded_total_energy(state: ParticleState, mesh: Mesh, axis: str = AXIS,
+                         softening2: float = 1e-3,
+                         tile_i: int = 512, tile_j: int = 2048):
+    """Exact total energy E = KE + U of a sharded state (psum'd scalar).
+
+    U is the conservative-counterpart pair potential (ops/energy.py — the
+    reference's own law is non-conservative, see that module's docstring),
+    evaluated exactly with a ring ppermute of source tiles: O(N²/P) work
+    per device, so this is a *cadence* diagnostic (BASELINE config 2's
+    energy-drift check), not a per-step one.
+    """
+    from nbody_simulation_tpu.ops.energy import allpairs_potential
+
+    n_dev = mesh.shape[axis]
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def local(pos_l, vel_l, mass_l):
+        phi = jnp.zeros((pos_l.shape[0],), jnp.float32)
+        vis_pos, vis_mass = pos_l, mass_l
+        for k in range(n_dev):
+            if k > 0:
+                vis_pos = jax.lax.ppermute(vis_pos, axis, perm)
+                vis_mass = jax.lax.ppermute(vis_mass, axis, perm)
+            phi = phi + allpairs_potential(
+                pos_l, mass_l, src_pos=vis_pos, src_mass=vis_mass,
+                softening2=softening2, tile_i=tile_i, tile_j=tile_j)
+        pe = jax.lax.psum(jnp.sum(jnp.float32(0.5) * mass_l * phi), axis)
+        ke = jax.lax.psum(
+            jnp.sum(jnp.float32(0.5) * mass_l * jnp.sum(vel_l ** 2, -1)),
+            axis)
+        return pe, ke
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis, None), P(axis)),
+                      out_specs=(P(), P()), check_vma=False)
+    pe, ke = f(state.pos, state.vel, state.mass)
+    return {"potential_energy": pe, "kinetic_energy": ke,
+            "total_energy": pe + ke}

@@ -1,0 +1,99 @@
+"""Total-energy diagnostics (ops/energy.py, parallel.sharded_total_energy):
+oracle parity, pair-count correctness, distributed equality, and the
+drift-tracking property the suite's config-2 check relies on."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nbody_simulation_tpu.config import SimConfig
+from nbody_simulation_tpu.models.scenarios import plummer, uniform_disc
+from nbody_simulation_tpu.ops.energy import (allpairs_potential,
+                                             potential_energy, total_energy)
+
+
+def numpy_potential(pos, mass, eps=1e-3):
+    """O(N²) oracle: U = Σ_{i<j} −m_i m_j / sqrt(max(r², ε)), pairs with
+    zero L1 displacement skipped (the force law's is_normal guard)."""
+    pos = np.asarray(pos, np.float64)
+    mass = np.asarray(mass, np.float64)
+    d = pos[:, None, :] - pos[None, :, :]
+    l1 = np.abs(d).sum(-1)
+    r2 = (d ** 2).sum(-1)
+    phi = -mass[None, :] / np.sqrt(np.maximum(r2, eps))
+    phi[l1 == 0.0] = 0.0
+    return 0.5 * float((mass[:, None] * phi).sum())
+
+
+def test_potential_matches_oracle():
+    st = uniform_disc(512, seed=1)
+    got = float(potential_energy(st.pos, st.mass))
+    want = numpy_potential(st.pos, st.mass)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_potential_masks_padding_and_self():
+    """Zero-mass padding adds nothing; coincident particles are skipped by
+    the is_normal guard rather than contributing the clamped floor."""
+    st = uniform_disc(100, seed=2).pad_to(128)
+    u_pad = float(potential_energy(st.pos, st.mass))
+    u_raw = float(potential_energy(st.pos[:100], st.mass[:100]))
+    np.testing.assert_allclose(u_pad, u_raw, rtol=1e-6)
+
+    pos = jnp.asarray([[10.0, 10.0], [10.0, 10.0], [13.0, 14.0]], jnp.float32)
+    mass = jnp.ones(3, jnp.float32)
+    # Only the two distinct pairs (0,2) and (1,2) contribute.
+    want = 2 * (-1.0 / 5.0)
+    np.testing.assert_allclose(float(potential_energy(pos, mass)), want,
+                               rtol=1e-6)
+
+
+def test_per_target_potential_shape_and_sources():
+    st = uniform_disc(256, seed=3)
+    other = uniform_disc(512, seed=4)
+    phi = allpairs_potential(st.pos, st.mass, src_pos=other.pos,
+                             src_mass=other.mass)
+    assert phi.shape == (256,)
+    assert np.isfinite(np.asarray(phi)).all()
+    assert (np.asarray(phi) < 0).all()
+
+
+def test_sharded_total_energy_matches_single_chip():
+    from nbody_simulation_tpu.parallel import (distribute_state, make_1d_mesh,
+                                               sharded_total_energy)
+
+    cfg = SimConfig(force_path="bh", theta=50.0)
+    mesh = make_1d_mesh(8)
+    st = plummer(4096, seed=5)
+    ds = distribute_state(st, mesh, cfg)
+    d = sharded_total_energy(ds, mesh)
+    # Single-chip reference over the same (padded, sorted) arrays.
+    want_u = float(potential_energy(jnp.asarray(np.asarray(ds.pos)),
+                                    jnp.asarray(np.asarray(ds.mass))))
+    np.testing.assert_allclose(float(d["potential_energy"]), want_u,
+                               rtol=1e-4)
+    want_e = want_u + float(
+        jnp.sum(0.5 * jnp.asarray(np.asarray(ds.mass))
+                * jnp.sum(jnp.asarray(np.asarray(ds.vel)) ** 2, -1)))
+    np.testing.assert_allclose(float(d["total_energy"]), want_e, rtol=1e-4)
+
+
+def test_bh_energy_drift_tracks_direct():
+    """The config-2 fidelity property at test scale: over 20 steps, the BH
+    trajectory's total-energy drift stays close to the direct trajectory's
+    drift (both drift — Euler + a non-conservative force law — but
+    together)."""
+    from nbody_simulation_tpu.models import World
+
+    n = 2048
+    e = {}
+    for path in ("direct", "bh"):
+        st = uniform_disc(n, seed=6)  # fresh: World donates its buffers
+        cfg = SimConfig(force_path=path, theta=0.5, dt=0.01,
+                        unweighted_leaf_com=False)
+        w = World(st, cfg)
+        e0 = float(total_energy(w.state))
+        for _ in range(20):
+            w.step()
+        e[path] = (float(total_energy(w.state)) - e0) / abs(e0)
+    # Drifts must agree to well under their own magnitude scale.
+    assert abs(e["bh"] - e["direct"]) < max(1e-3, 0.5 * abs(e["direct"])), e
