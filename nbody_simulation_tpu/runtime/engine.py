@@ -107,6 +107,7 @@ class Engine:
         if include_particles:
             slot += world.state.n_real * 8
         self.queue = SnapshotQueue(capacity=queue_depth, slot_bytes=slot)
+        self._counts_base = (0, 0)  # (pushed, dropped) from retired queues
         self.steps_per_snapshot = steps_per_snapshot
         self.counting = Counting()
         self._stop = threading.Event()
@@ -137,11 +138,28 @@ class Engine:
         self._step_once.set()
 
     def reconfigure(self, **changes) -> None:
-        """Queue SimConfig changes (theta, dt, ...) for the next batch
-        boundary. New jit closures compile on first use (persistent cache
-        makes repeats cheap)."""
+        """Queue SimConfig changes (theta, dt, render_size, ...) for the
+        next batch boundary. New jit closures compile on first use
+        (persistent cache makes repeats cheap). A ``render_size`` change
+        also rebuilds the snapshot queue (slot size depends on the frame),
+        the live version of the reference's window-resize handling
+        (src/main.rs:176-181)."""
         with self._cfg_lock:
             self._pending_cfg.update(changes)
+
+    def _rebuild_queue(self) -> None:
+        """Swap in a queue sized for the new frame; close the old one so
+        blocked consumers wake (they re-read ``self.queue`` per pop).
+        Producer-thread only. Drop accounting carries across swaps."""
+        cfg = self.world.config
+        slot = _HDR.size + cfg.render_size * cfg.render_size * 4
+        if self.include_particles:
+            slot += self.world.state.n_real * 8
+        old = self.queue
+        self._counts_base = (self._counts_base[0] + old.pushed,
+                             self._counts_base[1] + old.dropped)
+        self.queue = SnapshotQueue(capacity=old.capacity, slot_bytes=slot)
+        old.close()
 
     # -- producer -------------------------------------------------------------
     def _render_snapshot(self) -> bytes:
@@ -181,7 +199,10 @@ class Engine:
                 with self._cfg_lock:
                     pending, self._pending_cfg = self._pending_cfg, {}
                 if pending:
+                    old_rs = self.world.config.render_size
                     self.world.reconfigure(**pending)
+                    if self.world.config.render_size != old_rs:
+                        self._rebuild_queue()
                 if self._paused.is_set() and not self._step_once.is_set():
                     # Paused: keep serving the current frame, burn no steps.
                     now = time.monotonic()
@@ -238,8 +259,15 @@ class Engine:
 
     # -- consumer -------------------------------------------------------------
     def next_snapshot(self, timeout: float | None = None) -> Snapshot | None:
-        data = self.queue.pop(timeout)
-        return None if data is None else Snapshot.unpack(data)
+        while True:
+            q = self.queue
+            data = q.pop(timeout)
+            if data is not None:
+                return Snapshot.unpack(data)
+            if q is self.queue:
+                return None  # genuine timeout / closed-and-drained
+            # The queue was swapped (live render_size reconfigure) while we
+            # waited and the retired one closed — retry on the new queue.
 
     def join(self, timeout: float | None = None) -> None:
         """Wait for the physics loop to finish (only with max_steps set)."""
@@ -255,4 +283,4 @@ class Engine:
 
     @property
     def dropped(self) -> int:
-        return self.queue.dropped
+        return self._counts_base[1] + self.queue.dropped

@@ -193,15 +193,28 @@ class ViewerServer:
         # crash the handler or inject NaN into the (donated) device state
         # (pos = pos + vel*nan destroys the run irrecoverably).
         import math
-        for key, lo in (("theta", 0.0), ("dt", None)):
+        # Bounds: θ ∈ [0, 1e3] (reference's own max is 50); dt must be
+        # strictly positive (0 halts, negative reverses the run) and is
+        # capped — huge dt NaNs the state within a step or two anyway.
+        for key, lo, hi in (("theta", 0.0, 1.0e3), ("dt", 1e-6, 1.0e3)):
             if key in q:
                 try:
                     v = float(q[key][0])
                 except ValueError:
                     continue
-                if not math.isfinite(v) or (lo is not None and v < lo):
+                if not math.isfinite(v) or v < lo or v > hi:
                     continue
                 changes[key] = v
+        if "render_size" in q:
+            # Live surface resize (the reference's window resize,
+            # src/main.rs:176-181): the engine rebuilds the snapshot queue
+            # at the next batch boundary.
+            try:
+                rs = int(q["render_size"][0])
+            except ValueError:
+                rs = 0
+            if 64 <= rs <= 4096:
+                changes["render_size"] = rs
         if changes:
             self.engine.reconfigure(**changes)
 

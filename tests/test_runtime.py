@@ -160,3 +160,30 @@ def test_engine_final_snapshot_wins_over_full_queue():
         last = s
     eng.stop()
     assert last is not None and last.step == 30, last and last.step
+
+
+def test_engine_live_render_size_reconfigure():
+    """The reference handles window resize (src/main.rs:176-181); the
+    engine's equivalent: reconfigure(render_size=...) rebuilds the snapshot
+    queue at a batch boundary and subsequent frames come out at the new
+    size, with the consumer (re-reading engine.queue per pop) never stuck
+    on the retired queue."""
+    cfg = SimConfig(force_path="direct", render_size=100)
+    world = World(uniform_disc(256, seed=1), cfg)
+    eng = Engine(world, snapshot_interval=0.0)
+    eng.start(max_steps=4000)
+    first = eng.next_snapshot(timeout=30.0)
+    assert first is not None and first.frame.shape == (100, 100, 4)
+    eng.reconfigure(render_size=64)
+    shapes = []
+    for _ in range(400):
+        s = eng.next_snapshot(timeout=30.0)
+        if s is None:
+            break
+        shapes.append(s.frame.shape[0])
+        if shapes[-1] == 64:
+            break
+    eng.stop()
+    assert shapes and shapes[-1] == 64, shapes
+    # cumulative drop accounting survives the queue swap
+    assert eng.dropped >= 0
