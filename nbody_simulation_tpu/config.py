@@ -170,17 +170,21 @@ class SimConfig:
     # top ``forest_levels`` levels of every subtree are all_gathered once
     # per step (O(P·2^forest_levels) bytes — KBs) and ONE bounded walk
     # (plan_rows max_levels flush) covers all far subtrees; only the two
-    # Morton-neighbor subtrees ride the ring at full caps. None resolves by
-    # θ: forest in the reference's θ≥2 regime (a flushed cell at the
-    # gathered cut is far finer than what θ=50 accepts anyway), ring at
-    # physics quality.
+    # Morton-neighbor subtrees — plus, at physics quality, every
+    # SPATIALLY-adjacent shard pair (Morton seams, scheduled as static
+    # ppermute matchings at distribute/rebalance time:
+    # parallel/bh_distributed.adjacency_stages) — ride the ring at full
+    # caps. Forest is the default at every θ (O(1)-in-P stages); the
+    # adjacency threshold guarantees any non-adjacent pair θ-accepts above
+    # the gathered cut, so quality matches the exact ring sweep
+    # structurally, not just in the median (tests/test_distributed.py).
     far_mode: str | None = None
     forest_levels: int = 6
 
     def resolved_far_mode(self) -> str:
         if self.far_mode is not None:
             return self.far_mode
-        return "forest" if self.theta >= 2.0 else "ring"
+        return "forest"
 
     # Near-stage (ring-neighbor) row refinement for the distributed forest
     # mode: a cheap ``near_refine_levels``-deep bounded walk runs for ALL

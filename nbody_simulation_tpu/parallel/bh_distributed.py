@@ -107,13 +107,12 @@ def distribute_state(state: ParticleState, mesh: Mesh, config: SimConfig,
     # per device (each shard is real-first, but shard d+1's real particles
     # sit after shard d's padding), so the package-wide "first n_real rows
     # are live" contract (state.py) cannot name the true count — zero mass
-    # is the only live marker for distributed states (real_slice() would
-    # lie; consumers must mask by mass > 0, as diagnostics and the tests
-    # do).
+    # is the only live marker. distributed=True makes real_slice() refuse
+    # instead of silently returning padding (use .compact()).
     return ParticleState(jax.device_put(jnp.asarray(cpos), shp),
                          jax.device_put(jnp.asarray(cvel), shp),
                          jax.device_put(jnp.asarray(cmass), shm),
-                         n_real=n_dev * local)
+                         n_real=n_dev * local, distributed=True)
 
 
 def rebalance_state(state: ParticleState, mesh: Mesh, config: SimConfig,
@@ -128,11 +127,109 @@ def rebalance_state(state: ParticleState, mesh: Mesh, config: SimConfig,
     are dropped before re-partitioning, so repeated rebalances don't
     accumulate padding.
     """
-    mass = np.asarray(state.mass)
-    real = mass > 0
-    live = ParticleState.create(np.asarray(state.pos)[real],
-                                np.asarray(state.vel)[real], mass[real])
-    return distribute_state(live, mesh, config, axis=axis)
+    return distribute_state(state.compact(), mesh, config, axis=axis)
+
+
+def shard_cut_aabbs(state: ParticleState, mesh: Mesh, config: SimConfig,
+                    axis: str = AXIS):
+    """Per-shard AABBs of the ``2^(forest_levels-1)`` equal slot ranges —
+    exactly the leaf ranges of the deepest gathered forest level (complete
+    subtree ⇒ equal-slot nodes; zero-mass padding masked like the tree
+    build, ops/tree.py). Tiny: (P, W, 2) each, fetched to host once per
+    adjacency scheduling. Returns (mins, maxs) as NumPy."""
+    W = 1 << max(0, config.forest_levels - 1)
+
+    def local(pos_l, mass_l):
+        L = pos_l.shape[0]
+        w = W
+        while L % w or w > L:
+            w //= 2
+        seg = pos_l.reshape(w, L // w, 2)
+        m = (mass_l.reshape(w, L // w) > 0)[..., None]
+        big = jnp.float32(3.0e38)
+        mn = jnp.min(jnp.where(m, seg, big), axis=1)
+        mx = jnp.max(jnp.where(m, seg, -big), axis=1)
+        return (jax.lax.all_gather(mn, axis, axis=0, tiled=False),
+                jax.lax.all_gather(mx, axis, axis=0, tiled=False))
+
+    f = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P()), check_vma=False))
+    mn, mx = f(state.pos, state.mass)
+    return np.asarray(mn), np.asarray(mx)
+
+
+def adjacency_stages(state: ParticleState, mesh: Mesh, config: SimConfig,
+                     axis: str = AXIS):
+    """Schedule seam near stages: static ppermute matchings covering every
+    shard pair the forest cut cannot θ-accept.
+
+    The coarse forest flushes still-open nodes at its deepest gathered
+    level; flushes only happen for node/destination pairs that fail the
+    planner's acceptance test there. For each ordered pair (dest a,
+    source b) this helper checks, on the host with the tiny cut-level
+    AABBs, that EVERY nonempty cut node v of b is strictly disjoint from
+    shard a and satisfies ``2·size(v) < θ_eff·gap(v, A_a)`` (θ_eff = θ/2
+    under quadrupole — the planner's axis-straddling tightening; the 2× is
+    drift margin between rebalances, and gap(v, A_a) lower-bounds the
+    planner's row-AABB-to-COM distance for every row of a). Pairs that
+    fail — the Morton SEAMS: shards far on the ring but spatially touching
+    (the Z-curve revisits neighborhoods) — get a full per-group near stage,
+    exact like the ring-neighbor stages. In 2-D a shard has O(1) spatial
+    neighbors, so this adds O(1) stages regardless of P — the forest path
+    stays O(1)-in-P while matching the exact ring sweep structurally (every
+    spatially-near pair refined per group, every far pair θ-accepted with
+    quadrupole above the cut).
+
+    Returns a tuple of matchings; each matching is a tuple of (src, dst)
+    ppermute pairs (disjoint devices, both directions — greedy edge
+    coloring, ≤ max-degree+1 matchings). Recompute at every rebalance;
+    ``make_distributed_bh_step`` takes the result as ``extra_pairs``
+    (static → a changed adjacency recompiles, typically rare and cached).
+    """
+    n_dev = mesh.shape[axis]
+    if n_dev < 4:
+        return ()
+    mn, mx = shard_cut_aabbs(state, mesh, config, axis=axis)
+    empty = mn[..., 0] > mx[..., 0]
+    size = np.where(empty[..., None], 0.0, mx - mn).max(-1)     # (P, W)
+    smin = np.where(empty[..., None], np.float32(3e38), mn)
+    smax = np.where(empty[..., None], np.float32(-3e38), mx)
+    amin = smin.min(axis=1)                                     # (P, 2)
+    amax = smax.max(axis=1)
+    theta_eff = config.theta * (
+        0.5 if config.resolved_multipole() == 2 else 1.0)
+    edges = set()
+    for a in range(n_dev):
+        for b in range(n_dev):
+            if b in (a, (a + 1) % n_dev, (a - 1) % n_dev):
+                continue
+            gap = np.sqrt((np.maximum(
+                0.0, np.maximum(mn[b] - amax[a], amin[a] - mx[b])) ** 2
+            ).sum(-1))                                          # (W,)
+            ok = empty[b] | ((gap > 0) & (2.0 * size[b] < theta_eff * gap))
+            if not ok.all():
+                edges.add((min(a, b), max(a, b)))
+    matchings: list[list[tuple[int, int]]] = []
+    used: list[set[int]] = []
+    for a, b in sorted(edges):
+        for m, u in zip(matchings, used):
+            if a not in u and b not in u:
+                m += [(a, b), (b, a)]
+                u |= {a, b}
+                break
+        else:
+            matchings.append([(a, b), (b, a)])
+            used.append({a, b})
+    return tuple(tuple(m) for m in matchings)
+
+
+def resolved_seam_stages(config: SimConfig) -> bool:
+    """Whether the forest mode schedules adjacency seam stages: on at
+    physics quality (θ<2, where flush error at the cut would break the
+    <1e-3 budget), off in the reference's θ≥2 regime (round-2 behavior —
+    the θ=50 walk's own error dwarfs seam flushes)."""
+    return config.theta < 2.0
 
 
 def _stage_caps(config: SimConfig, dist: int, n_dev: int):
@@ -156,14 +253,16 @@ def _stage_caps(config: SimConfig, dist: int, n_dev: int):
 
 
 def _gather_forest(tree: FlatTree, axis: str, n_dev: int,
-                   top_levels: int) -> FlatTree:
+                   top_levels: int, covered_np=None) -> FlatTree:
     """All-gather the top ``top_levels`` levels of every device's subtree
     and assemble ONE complete binary FlatTree over them.
 
-    Subtrees at ring distance 0 and ±1 are emptied (zero mass, point AABB at
-    EMPTY_POS) — they are covered exactly by the local walk and the two
-    neighbor ring stages, so the forest walk contributes zero force for
-    them. Virtual combine levels are built above the subtree roots, so the
+    Subtrees covered by a dedicated near stage are emptied (zero mass,
+    point AABB at EMPTY_POS) — by default ring distance 0 and ±1 (the local
+    walk and the two neighbor ring stages); ``covered_np`` (a static
+    (P, P) bool matrix, row d = subtrees device d covers elsewhere) extends
+    this to the adjacency-scheduled seam stages of the physics-quality
+    mode. Virtual combine levels are built above the subtree roots, so the
     concatenated per-subtree levels index exactly like the lower part of a
     complete binary tree (subtree ``s`` node ``i`` at ``s·2^l + i`` has
     children ``2(s·2^l+i)``, ``+1``). Gathered bytes are
@@ -175,9 +274,12 @@ def _gather_forest(tree: FlatTree, axis: str, n_dev: int,
     """
     levels_m = min(top_levels, tree.depth + 1)
     my = jax.lax.axis_index(axis)
-    src = jnp.arange(n_dev, dtype=jnp.int32)
-    d = (src - my) % n_dev
-    covered = (d == 0) | (d == 1) | (d == n_dev - 1)  # local + ring stages
+    if covered_np is not None:
+        covered = jnp.asarray(covered_np)[my]
+    else:
+        src = jnp.arange(n_dev, dtype=jnp.int32)
+        d = (src - my) % n_dev
+        covered = (d == 0) | (d == 1) | (d == n_dev - 1)  # local + ring
     p2 = 1 << max(0, (n_dev - 1).bit_length())
 
     gathered = []
@@ -282,14 +384,18 @@ def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
 
 
 def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
-                         axis: str = AXIS, config: SimConfig | None = None
-                         ) -> jax.Array:
+                         axis: str = AXIS, config: SimConfig | None = None,
+                         extra_pairs=()) -> jax.Array:
     """Distributed-BH acceleration for an already-distributed state.
 
     ``pos``/``mass`` are sharded over ``axis`` with each shard locally
     Morton-ordered (``distribute_state``). Returns accelerations in the SAME
     (sharded, sorted) order — the step keeps the state in sorted order, so
     no unsort/gather of full N ever happens.
+
+    ``extra_pairs``: static seam-stage matchings from ``adjacency_stages``
+    (physics-quality forest mode); each runs one additional full near stage
+    and the matched subtrees are emptied out of the forest walk.
     """
     cfg = config or SimConfig(force_path="bh")
     n_dev = mesh.shape[axis]
@@ -299,6 +405,14 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     # forest mode needs ≥4 devices to have any ring-far subtree at all.
     forest = cfg.resolved_far_mode() == "forest" and n_dev >= 4
+    covered_np = None
+    if forest and extra_pairs:
+        covered_np = np.zeros((n_dev, n_dev), bool)
+        for d in range(n_dev):
+            covered_np[d, [d, (d + 1) % n_dev, (d - 1) % n_dev]] = True
+        for matching in extra_pairs:
+            for s, d in matching:
+                covered_np[d, s] = True
 
     def local(pos_l, mass_l):
         tree = summarize_sorted(pos_l, mass_l, leaf_size=cfg.leaf_size,
@@ -326,27 +440,35 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
             back = [(i, (i - 1) % n_dev) for i in range(n_dev)]
             acc = sweep(acc, plan_rows(tree, own, cfg.theta, fcap, lcap,
                                        cfg.tree_arity, multipole=mp))
-            # Near-stage rows are 8 leaves regardless of the local
-            # plan_leaves: finer rows double the refined stage's planner
-            # rows and halve its sweep tiles (measured 6.7 -> 14.8 ms at a
-            # 1M shard when the local walk moved to pl=4); leaf caps scale
-            # with the row size.
-            pln = max(pl_, min(NEAR_ROW_LEAVES, n_leaves))
+            # Near-stage rows: 8 leaves in the θ≥2 regime (finer rows double
+            # the refined stage's planner rows and halve its sweep tiles —
+            # measured 6.7 -> 14.8 ms at a 1M shard when the local walk
+            # moved to pl=4); at physics quality the rows match the local
+            # plan granularity — coarse 8-leaf rows overflowed the frontier
+            # on dense seams and cost a 1.5e-3 p99 error tail (COM
+            # fallback), vs 3e-7 at plan granularity. Leaf caps scale with
+            # the row size.
+            base_rows = NEAR_ROW_LEAVES if cfg.theta >= 2.0 else 1
+            pln = max(pl_, min(base_rows, n_leaves))
             while n_leaves % pln:
                 pln //= 2
             own_n = tree.levels[tree.depth - (pln.bit_length() - 1)]
             tgt_n = tree.leaf_pos.reshape(n_leaves // pln, pln * S, 2)
             ncaps = (fcap, max(lcap, 4 * pln))
-            for visiting in (
-                    jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm),
-                                 tree),
-                    jax.tree.map(lambda x: jax.lax.ppermute(x, axis, back),
-                                 tree)):
+            stage_perms = [perm, back] + [list(m) for m in extra_pairs]
+            for sperm in stage_perms:
+                # Devices outside a seam matching receive all-zero records
+                # from the ppermute: zero mass ⇒ zero emitted force, zero
+                # count ⇒ nothing opened — the stage is a cheap no-op for
+                # them (SPMD would have them idle regardless).
+                visiting = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x, axis, sperm), tree)
                 acc_n = _near_stage(
                     jnp.zeros(tgt_n.shape, jnp.float32), visiting, own_n,
                     tgt_n, cfg, mp, rcp, interpret, caps=ncaps)
                 acc = acc + acc_n.reshape(acc.shape)
-            ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels)
+            ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels,
+                                   covered_np=covered_np)
             ff = max(16, 1 << max(0, (n_dev - 1).bit_length()))
             k0 = min(max(ff.bit_length() - 1, 0), ftree.depth - 1)
             # Coarse rows for the forest walk: far subtrees resolve high
@@ -387,7 +509,7 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
 
 
 def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
-                             axis: str = AXIS):
+                             axis: str = AXIS, extra_pairs=()):
     """Full multi-chip distributed-BH step: local re-sort (amortized over
     ``config.resort_every`` like the single-chip World) → local subtree →
     ring/forest force sweep → integrate (semi-implicit Euler, or leapfrog
@@ -429,12 +551,13 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
             else:
                 spos, svel, smass = state.pos, state.vel, state.mass
             acc = bh_distributed_accel(spos, smass, mesh, axis=axis,
-                                       config=cfg)
+                                       config=cfg, extra_pairs=extra_pairs)
             if cfg.integrator == "leapfrog":
                 v_half = svel + acc * (fdt * np.float32(0.5))
                 pos = spos + v_half * fdt
                 acc2 = bh_distributed_accel(pos, smass, mesh, axis=axis,
-                                            config=cfg)
+                                            config=cfg,
+                                            extra_pairs=extra_pairs)
                 vel = v_half + acc2 * (fdt * np.float32(0.5))
             else:
                 vel = svel + acc * fdt
@@ -452,4 +575,12 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
         counter[0] += 1
         return fn(state)
 
+    # After a rebalance the state is freshly globally sorted; callers reset
+    # the resort cadence instead of rebuilding the closure (a rebuild
+    # discards the jit caches and forces a full recompile at unchanged
+    # shapes).
+    def reset() -> None:
+        counter[0] = 0
+
+    step.reset = reset
     return step

@@ -79,15 +79,24 @@ def simulate_distributed(state, mesh: Mesh, config, steps: int,
     this host loop — ``snapshot_every`` steps between on-device sharded
     renders (``on_frame(step, rgba_np)`` receives the merged frame), and an
     optional ``rebalance_every`` cadence re-partitions drifted ownership
-    (bh_distributed.rebalance_state; the step closure is rebuilt so its
-    resort counter restarts aligned). Returns the final state.
+    ON DEVICE (parallel/repartition.py — a jitted collective global Morton
+    sort, no host round-trip; the step closure's resort counter is reset so
+    the cadence restarts aligned and every jit cache survives). Returns
+    the final state.
     """
     import numpy as np
 
     from nbody_simulation_tpu.parallel.bh_distributed import (
-        make_distributed_bh_step, rebalance_state)
+        adjacency_stages, make_distributed_bh_step, resolved_seam_stages)
+    from nbody_simulation_tpu.parallel.repartition import (
+        make_collective_rebalance)
 
-    step = make_distributed_bh_step(mesh, config, axis=axis)
+    seams = resolved_seam_stages(config)
+    extra = adjacency_stages(state, mesh, config, axis=axis) if seams else ()
+    step = make_distributed_bh_step(mesh, config, axis=axis,
+                                    extra_pairs=extra)
+    rebalance = (make_collective_rebalance(mesh, config, axis=axis)
+                 if rebalance_every else None)
     for i in range(1, steps + 1):
         state = step(state)
         if snapshot_every and on_frame and i % snapshot_every == 0:
@@ -98,6 +107,16 @@ def simulate_distributed(state, mesh: Mesh, config, steps: int,
                 heavy_weight=config.heavy_weight)
             on_frame(i, np.asarray(frame))
         if rebalance_every and i < steps and i % rebalance_every == 0:
-            state = rebalance_state(state, mesh, config, axis=axis)
-            step = make_distributed_bh_step(mesh, config, axis=axis)
+            state = rebalance(state)
+            if seams:
+                new_extra = adjacency_stages(state, mesh, config, axis=axis)
+                if new_extra != extra:
+                    # Seam topology changed (rare; shards drifted across a
+                    # quadrant boundary): rebuild the step closure with the
+                    # new static matchings (compile cached by shape+pairs).
+                    extra = new_extra
+                    step = make_distributed_bh_step(mesh, config, axis=axis,
+                                                    extra_pairs=extra)
+                    continue
+            step.reset()
     return state
