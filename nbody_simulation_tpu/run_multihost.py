@@ -46,10 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None,
                    help="frame directory (process 0 only)")
     p.add_argument("--checkpoint", default=None,
-                   help="save the final state here (process 0 writes; the "
-                        "state is canonicalized via compact-on-host of "
-                        "process-0-addressable data only when small, else "
-                        "refused — see docs/MULTIHOST.md)")
+                   help="save the final state here (canonicalized to the "
+                        "single-chip file format; process 0 writes — see "
+                        "docs/MULTIHOST.md)")
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint (single-chip or "
+                        "distributed; re-distributed over this mesh)")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="process 0: live browser viewer on this port")
+    p.add_argument("--quiet", action="store_true")
     p.add_argument("--exact-chunks", action="store_true",
                    help="exact-slice scenario chunking (O(N) host memory, "
                         "bitwise process-count-invariant particle set)")
@@ -83,24 +88,42 @@ def main(argv=None) -> int:
     from nbody_simulation_tpu.config import SimConfig
     from nbody_simulation_tpu.models.scenarios import scenario_chunk
     from nbody_simulation_tpu.parallel import (make_1d_mesh,
-                                               sharded_diagnostics,
-                                               simulate_distributed)
+                                               sharded_diagnostics)
+
+    from nbody_simulation_tpu.runtime.distributed import (DistributedEngine,
+                                                          DistributedWorld)
+    from nbody_simulation_tpu.utils.telemetry import RateMeter
 
     pid, nproc = jax.process_index(), jax.process_count()
-    emit = print if pid == 0 else (lambda *a, **k: None)
+    emit = print if (pid == 0 and not args.quiet) else (lambda *a, **k: None)
     emit(f"processes: {nproc}, devices: {len(jax.devices())} "
          f"({len(jax.local_devices())} local)")
 
     cfg = SimConfig(force_path="bh", theta=args.theta, dt=args.dt)
     mesh = make_1d_mesh()
 
-    kw = {"galaxy": {}, "collision": {}}.get(args.scenario, {"n": args.n})
-    chunk = scenario_chunk(args.scenario, pid, nproc, seed=args.seed,
-                           exact=args.exact_chunks, **kw)
-    state = multihost_state(chunk, mesh, cfg)
+    start_step = 0
+    if args.resume:
+        from nbody_simulation_tpu.runtime.distributed import (
+            load_distributed_checkpoint)
+        state, start_step = load_distributed_checkpoint(args.resume, mesh,
+                                                        cfg)
+    else:
+        kw = {"galaxy": {}, "collision": {}}.get(args.scenario,
+                                                 {"n": args.n})
+        chunk = scenario_chunk(args.scenario, pid, nproc, seed=args.seed,
+                               exact=args.exact_chunks, **kw)
+        state = multihost_state(chunk, mesh, cfg)
     emit(f"len: {int(np.asarray(sharded_diagnostics(state, mesh)['n_live']))}")
 
-    on_frame = None
+    world = DistributedWorld(state, mesh, cfg,
+                             rebalance_every=args.rebalance_every)
+    world.updates = start_step
+    engine = DistributedEngine(
+        world, snapshot_interval=0.0,
+        steps_per_snapshot=max(1, args.snapshot_every or 10))
+
+    out = None
     if args.out and pid == 0:
         from pathlib import Path
 
@@ -108,40 +131,62 @@ def main(argv=None) -> int:
         out = Path(args.out)
         out.mkdir(parents=True, exist_ok=True)
 
-        def on_frame(i, rgba):
-            save_png(out / f"frame_{i:08d}.png", rgba)
-    elif args.out:
-        on_frame = lambda i, rgba: None  # non-zero procs join the render
+    viewer = None
+    if args.serve and pid == 0:
+        from nbody_simulation_tpu.viz import ViewerServer
+        viewer = ViewerServer(engine, port=args.serve)
+        viewer.start()
+        emit(f"viewer: http://127.0.0.1:{viewer.port}/")
 
+    meter = RateMeter(emit=emit)
     t0 = time.perf_counter()
-    state = simulate_distributed(
-        state, mesh, cfg, steps=args.steps,
-        snapshot_every=args.snapshot_every, on_frame=on_frame,
-        rebalance_every=args.rebalance_every)
-    d = sharded_diagnostics(state, mesh)
+    engine.start(max_steps=start_step + args.steps)
+    last = None
+    kept = 0
+    while True:
+        snap = engine.next_snapshot(timeout=None)
+        if snap is None:
+            break
+        last = snap
+        kept += 1
+        meter.frame(snap.step, snap.counting)
+        if out is not None and args.snapshot_every:
+            from nbody_simulation_tpu.utils.pngio import save_png
+            save_png(out / f"frame_{snap.step:08d}.png", snap.frame)
+    engine.join(timeout=600)
+    engine.stop()
+    if viewer is not None:
+        viewer.stop()
+
+    d = world.diagnostics()
     dt_wall = time.perf_counter() - t0
-    emit(f"done: {args.steps} steps in {dt_wall:.1f}s "
-         f"({args.steps / dt_wall:.1f} steps/s), "
+    steps = world.updates - start_step
+    emit(f"done: {steps} steps in {dt_wall:.1f}s "
+         f"({steps / max(dt_wall, 1e-9):.1f} steps/s), "
+         f"{kept} snapshots kept, {engine.dropped} dropped, "
          f"mass {float(d['total_mass']):.1f}, "
          f"ke {float(d['kinetic_energy']):.6e}")
+    if out is not None and last is not None:
+        from nbody_simulation_tpu.utils.pngio import save_png
+        save_png(out / f"frame_{last.step:08d}.png", last.frame)
 
     if args.checkpoint:
-        # O(N)-on-host escape hatch (docs/MULTIHOST.md): replicate the
-        # sharded arrays so every process can address them, then process 0
-        # compacts + saves. All processes run the replicating jit (it is a
-        # collective); only process 0 touches the filesystem.
-        import jax.numpy as jnp
+        # compact() must address every row, so replicate first (a
+        # collective every process runs); only process 0 writes the file.
+        # docs/MULTIHOST.md documents the O(N)-on-host nature of
+        # single-file checkpoints.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from nbody_simulation_tpu.state import ParticleState
+        from nbody_simulation_tpu.utils.checkpoint import save_checkpoint
         rep = jax.jit(lambda x: x + 0,
                       out_shardings=NamedSharding(mesh, P()))
-        full = ParticleState(rep(state.pos), rep(state.vel), rep(state.mass),
-                             n_real=state.n_real, distributed=True)
+        full = ParticleState(rep(world.state.pos), rep(world.state.vel),
+                             rep(world.state.mass),
+                             n_real=world.state.n_real, distributed=True)
         if pid == 0:
-            from nbody_simulation_tpu.utils.checkpoint import save_checkpoint
-            save_checkpoint(args.checkpoint, full.compact(), args.steps)
-            emit(f"checkpoint: {args.checkpoint}")
+            save_checkpoint(args.checkpoint, full.compact(), world.updates)
+            emit(f"checkpoint: {args.checkpoint} @ step {world.updates}")
     return 0
 
 

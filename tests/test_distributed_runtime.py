@@ -1,0 +1,131 @@
+"""Distributed runtime parity (runtime/distributed.py, run_multihost.py):
+the Engine stack — snapshot queue, Counting/fps/ups telemetry, viewer
+surface, checkpoint round-trip — over a sharded state on the virtual
+8-device mesh."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from nbody_simulation_tpu.config import SimConfig
+from nbody_simulation_tpu.models.scenarios import uniform_disc
+from nbody_simulation_tpu.parallel import distribute_state, make_1d_mesh
+from nbody_simulation_tpu.runtime.distributed import (DistributedEngine,
+                                                      DistributedWorld)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def dcfg(**kw):
+    return SimConfig(force_path="bh", theta=50.0, render_size=128, **kw)
+
+
+def make_world(n=4 * 512, nd=4, rebalance_every=0, seed=31):
+    mesh = make_1d_mesh(nd)
+    cfg = dcfg()
+    ds = distribute_state(uniform_disc(n, seed=seed), mesh, cfg)
+    return DistributedWorld(ds, mesh, cfg, rebalance_every=rebalance_every)
+
+
+def test_distributed_engine_end_to_end():
+    """Steps, lossy snapshot queue, sharded-rendered frames, end-state push,
+    profile-mode Counting — the single-chip Engine contract, distributed."""
+    w = make_world()
+    eng = DistributedEngine(w, snapshot_interval=0.0, steps_per_snapshot=2,
+                            profile_every=2)
+    eng.start(max_steps=10)
+    snaps = []
+    while True:
+        s = eng.next_snapshot(timeout=60.0)
+        if s is None:
+            break
+        snaps.append(s)
+    eng.stop()
+    assert w.updates == 10
+    assert snaps and snaps[-1].step == 10
+    assert snaps[-1].frame.shape == (128, 128, 4)
+    assert snaps[-1].frame[..., 3].max() > 0          # frame is lit
+    assert [s.step for s in snaps] == sorted(s.step for s in snaps)
+    # profile mode attributed at least one synced step to sum_gravity
+    assert snaps[-1].counting.sum_gravity > 0
+
+
+def test_distributed_world_rebalance_and_reconfigure():
+    w = make_world(rebalance_every=3)
+    total0 = None
+    w.run(7)   # crosses two rebalance boundaries
+    d = w.diagnostics()
+    total0 = float(d["total_mass"])
+    assert int(np.asarray(d["n_live"])) == 4 * 512
+    w.reconfigure(theta=25.0, dt=0.05)
+    assert w.config.theta == 25.0
+    w.run(2)
+    w.assert_finite()
+    np.testing.assert_allclose(float(w.diagnostics()["total_mass"]), total0,
+                               rtol=1e-6)
+
+
+def test_distributed_checkpoint_roundtrip(tmp_path):
+    from nbody_simulation_tpu.runtime.distributed import (
+        load_distributed_checkpoint, save_distributed_checkpoint)
+
+    w = make_world(n=1000, nd=4)
+    w.run(3)
+    path = tmp_path / "ck.npz"
+    save_distributed_checkpoint(path, w)
+    # Resume onto a DIFFERENT mesh size: canonical format is layout-free.
+    mesh8 = make_1d_mesh(8)
+    state, step = load_distributed_checkpoint(path, mesh8, dcfg())
+    assert step == 3 and state.distributed
+    mass = np.asarray(state.mass)
+    assert int((mass > 0).sum()) == 1000
+    # The live particles are identical (same set, same global Morton order).
+    np.testing.assert_array_equal(
+        np.asarray(state.compact().pos), np.asarray(w.state.compact().pos))
+    # And the resumed world steps fine.
+    w8 = DistributedWorld(state, mesh8, dcfg())
+    w8.run(1)
+    w8.assert_finite()
+
+
+def test_run_py_checkpoint_refuses_distributed_state():
+    """run.py --checkpoint uses real_slice(), which now fails loudly on a
+    distributed layout instead of silently saving interleaved padding."""
+    import pytest
+
+    mesh = make_1d_mesh(4)
+    ds = distribute_state(uniform_disc(256, seed=1), mesh, dcfg())
+    with pytest.raises(ValueError, match="distributed"):
+        ds.real_slice()
+
+
+def test_multihost_cli_frames_telemetry_checkpoint(tmp_path):
+    """The full distributed CLI on one process × 8 virtual devices: frames
+    written, fps/ups telemetry printed, checkpoint written and resumable."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    ck = tmp_path / "run.npz"
+    out = tmp_path / "frames"
+    base = [sys.executable, "-m", "nbody_simulation_tpu.run_multihost",
+            "--scenario", "uniform", "--n", "2048",
+            "--cpu-devices", "8", "--rebalance-every", "0",
+            "--snapshot-every", "2"]
+    r = subprocess.run(
+        base + ["--steps", "6", "--out", str(out), "--checkpoint", str(ck)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "len: 2048" in r.stdout
+    assert "done: 6 steps" in r.stdout
+    assert "ups:" in r.stdout and "step:" in r.stdout   # RateMeter telemetry
+    assert ck.exists()
+    frames = sorted(out.glob("frame_*.png"))
+    assert frames, r.stdout
+    r2 = subprocess.run(
+        base + ["--steps", "2", "--resume", str(ck)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "done: 2 steps" in r2.stdout
