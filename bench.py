@@ -31,7 +31,11 @@ def main() -> None:
         t0 = time.perf_counter()
         # float(...) forces a host readback — block_until_ready does not
         # synchronize under the axon tunnel.
-        _ = float(allpairs_accel(pos, mass).sum())
+        # rcp="approx": raw VPU reciprocal — measured max deviation 6.5e-4
+        # from the Newton-refined kernel (p99 3.7e-5), inside BASELINE's
+        # <1e-3 force-error budget, and +11% pairs/s (2.46e11 → 2.72e11).
+        # Library default stays "newton" (≤6e-6) for physics-quality use.
+        _ = float(allpairs_accel(pos, mass, rcp="approx").sum())
         return time.perf_counter() - t0
 
     run()  # compile + warm

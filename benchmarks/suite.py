@@ -223,23 +223,94 @@ def config5():
         pos = pos + vel * fdt
         return pos, vel, mass
 
+    def time_steps(step_r, step_s, pva):
+        every = max(1, cfg.resort_every)
+        for i in range(9):
+            pva = (step_r if i % every == 0 else step_s)(*pva)
+        sync(pva[0])
+        t0 = time.perf_counter()
+        for i in range(9, 9 + 16):
+            pva = (step_r if i % every == 0 else step_s)(*pva)
+        sync(pva[0])
+        return (time.perf_counter() - t0) / 16
+
+    # ---- collective payload accounting (REAL sizes, not assumptions) ----
+    # Per step the real P-chip program moves over ICI, per device:
+    #   · 2 neighbor subtree blocks IN + 2 OUT (the ppermute ring stages
+    #     ship the full FlatTree: leaf tiles + level summaries), and
+    #   · the coarse-forest all_gather (P × top-level records).
+    tree0 = summarize_sorted(st.pos, st.mass, leaf_size=cfg.leaf_size,
+                             unweighted_leaf_com=cfg.unweighted_leaf_com)
+    tree_bytes = sum(x.size * x.dtype.itemsize
+                     for x in jax.tree_util.tree_leaves(tree0))
+    forest_bytes = P * sum(
+        (1 << l) * 8 * 4 for l in range(min(cfg.forest_levels,
+                                            tree0.depth + 1)))
+    payload = 2 * tree_bytes + forest_bytes           # inbound per device
+    # v5e ICI: ~45 GB/s per direction per link (conservative public
+    # figure); a 1-D ring uses one link each way, so serialized (zero
+    # overlap) transfer time is payload / 45e9 (out rides the other
+    # direction concurrently).
+    t_ici = payload / 45e9
+
+    # ---- optimistic bound: the round-2 composite (XLA overlaps all
+    # collectives with compute; transfers cost nothing) ----
     step_r = jax.jit(functools.partial(step_body, resort=True),
                      donate_argnums=(0, 1, 2))
     step_s = jax.jit(functools.partial(step_body, resort=False),
                      donate_argnums=(0, 1, 2))
-    pva = (st.pos, st.vel, st.mass)
-    every = max(1, cfg.resort_every)
-    for i in range(9):
-        pva = (step_r if i % every == 0 else step_s)(*pva)
-    sync(pva[0])
-    t0 = time.perf_counter()
-    for i in range(9, 9 + 16):
-        pva = (step_r if i % every == 0 else step_s)(*pva)
-    sync(pva[0])
-    t_step = (time.perf_counter() - t0) / 16
+    t_opt = time_steps(step_r, step_s, (st.pos, st.vel, st.mass))
+
+    # ---- adversarial bound: same composite + a REAL-size dummy payload
+    # forced through HBM inside the step (the memory cost of materializing
+    # received blocks with zero compute/DMA overlap), + the serialized ICI
+    # wire time added outside. Both bounds are printed; the pessimistic
+    # number is the one that must clear the 60 steps/s target. ----
+    n_dummy = payload // 4
+    dummy0 = jnp.zeros((n_dummy,), jnp.float32)
+
+    def step_adv(pos, vel, mass, dummy, resort):
+        # Force the payload-size HBM touch to run strictly AFTER the step
+        # (zero overlap) via scalar tokens. The tokens go through
+        # copy-producing adds so the donated state never aliases a
+        # pallas_call input directly (the 13x donation stall,
+        # models/world.py) and the +0.0 keeps the physics bitwise.
+        tok_in = jnp.sum(dummy[:128]) * 0
+        pos = pos + tok_in          # step depends on the dummy buffer...
+        pos, vel, mass = step_body(pos, vel, mass, resort)
+        # ...and the full payload read+write depends on the step's output.
+        dummy = dummy + pos[0, 0] * 0
+        return pos, vel, mass, dummy
+
+    adv_r = jax.jit(functools.partial(step_adv, resort=True),
+                    donate_argnums=(0, 1, 2, 3))
+    adv_s = jax.jit(functools.partial(step_adv, resort=False),
+                    donate_argnums=(0, 1, 2, 3))
+    st2 = distribute_state(uniform_disc(L, seed=0), mesh, cfg)
+
+    def time_adv():
+        pva = (st2.pos, st2.vel, st2.mass, dummy0)
+        every = max(1, cfg.resort_every)
+        for i in range(9):
+            pva = (adv_r if i % every == 0 else adv_s)(*pva)
+        sync(pva[0])
+        t0 = time.perf_counter()
+        for i in range(9, 9 + 16):
+            pva = (adv_r if i % every == 0 else adv_s)(*pva)
+        sync(pva[0])
+        return (time.perf_counter() - t0) / 16
+
+    t_adv = time_adv() + t_ici
     emit(5, f"distributed-BH projected steps/s @N={N} on v5e-{P} "
             "(single-chip composite per-shard proxy, forest far-mode)",
-         1 / t_step, "steps/s", t_step_ms=round(t_step * 1e3, 2), shard=L)
+         1 / t_opt, "steps/s", t_step_ms=round(t_opt * 1e3, 2), shard=L,
+         bound="optimistic (collectives fully overlapped)")
+    emit(5, f"distributed-BH projected steps/s @N={N} on v5e-{P} "
+            "(ADVERSARIAL: real-size payload through HBM + serialized ICI)",
+         1 / t_adv, "steps/s", t_step_ms=round(t_adv * 1e3, 2),
+         payload_mb=round(payload / 1e6, 1),
+         t_ici_ms=round(t_ici * 1e3, 2),
+         bound="pessimistic (zero collective/compute overlap)")
 
 
 def main():

@@ -1,0 +1,80 @@
+"""Scale-tier distributed regression (VERDICT r2 item 8): N=524,288 on the
+virtual 8-device mesh — exact-config parity vs the single chip and a
+soak with conservation checks. The repeatable version of round 2's manual
+4.2M validation. Marked slow (minutes: real 524k compiles + sweeps on the
+CPU mesh); deselect with ``-m 'not slow'``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nbody_simulation_tpu.config import SimConfig
+from nbody_simulation_tpu.models.scenarios import uniform_disc
+from nbody_simulation_tpu.ops.traversal import bh_accel
+from nbody_simulation_tpu.parallel import (bh_distributed_accel,
+                                           distribute_state, make_1d_mesh,
+                                           make_distributed_bh_step,
+                                           sharded_diagnostics)
+
+N = 524_288
+
+
+@pytest.mark.slow
+def test_524k_parity_vs_single_chip():
+    """Distributed (flagship forest mode, default caps) vs the single-chip
+    walk over the same (padded, sorted) arrays at half-million scale.
+
+    NODE-SET-exact parity (asserted at 1e-6 in
+    tests/test_distributed.py::test_distributed_matches_single_chip at
+    N=8k) requires caps ≥ the GLOBAL level widths — at 524k that is a
+    frontier of 4096+, which makes the planner O(N²/P): infeasible by
+    design, not by accident. At scale both sides make different *valid*
+    capped BH approximations, so the contract is approximation-CLASS
+    parity: the distributed answer differs from the single-chip answer by
+    no more than the θ=50 walk's own approximation error (~5e-2 median vs
+    direct; same bound the forest-vs-ring tests use)."""
+    mesh = make_1d_mesh(8)
+    cfg = SimConfig(force_path="bh", theta=50.0)
+    ds = distribute_state(uniform_disc(N, seed=40), mesh, cfg)
+    pos_all, mass_all = np.asarray(ds.pos), np.asarray(ds.mass)
+    got = np.asarray(bh_distributed_accel(ds.pos, ds.mass, mesh, config=cfg))
+    want = np.asarray(bh_accel(
+        jnp.asarray(pos_all), jnp.asarray(mass_all), theta=50.0,
+        multipole=1, morton_bits=15, plan_leaves=cfg.plan_leaves))
+    real = mass_all > 0
+    rel = (np.linalg.norm(got[real] - want[real], axis=1)
+           / np.maximum(np.linalg.norm(want[real], axis=1), 1e-12))
+    assert np.isfinite(got).all()
+    assert np.median(rel) < 2e-2, np.median(rel)
+    assert np.percentile(rel, 99.9) < 1.0, np.percentile(rel, 99.9)
+
+
+@pytest.mark.slow
+def test_524k_soak_conserves():
+    """25-step flagship-regime soak at 524k on the 8-device mesh: finite
+    positions, exact mass conservation, bounded momentum drift, O(N/P)
+    shapes preserved."""
+    mesh = make_1d_mesh(8)
+    cfg = SimConfig(force_path="bh", theta=50.0)
+    st = uniform_disc(N, seed=41)
+    total = float(np.asarray(st.mass).sum())
+    ds = distribute_state(st, mesh, cfg)
+    d0 = sharded_diagnostics(ds, mesh)
+    p0 = np.asarray(d0["momentum"])
+    shape0 = ds.pos.shape
+    step = make_distributed_bh_step(mesh, cfg)
+    for _ in range(25):
+        ds = step(ds)
+    assert ds.pos.shape == shape0
+    d = sharded_diagnostics(ds, mesh)
+    assert np.isfinite(np.asarray(ds.pos)).all()
+    np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
+    assert int(np.asarray(d["n_live"])) == N
+    # The exact pairwise force is antisymmetric only up to the reference
+    # law's reduction order and the BH approximation; momentum drift per
+    # step must stay far below the momentum scale of the system
+    # (Σ m·|v| ≈ N·0.5 for the unit-mass disc).
+    drift = np.abs(np.asarray(d["momentum"]) - p0).max()
+    assert drift < 0.01 * N, drift
+    assert float(d["kinetic_energy"]) > 0
