@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None,
                    help="resume from a checkpoint (single-chip or "
                         "distributed; re-distributed over this mesh)")
+    p.add_argument("--checkpoint-sharded", default=None, metavar="DIR",
+                   help="sharded checkpoint directory: every process "
+                        "writes only its own rows (no O(N)-on-one-host "
+                        "step); resumable with any process count")
+    p.add_argument("--resume-sharded", default=None, metavar="DIR",
+                   help="resume from a sharded checkpoint directory")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="process 0: live browser viewer on this port")
     p.add_argument("--quiet", action="store_true")
@@ -103,7 +109,12 @@ def main(argv=None) -> int:
     mesh = make_1d_mesh()
 
     start_step = 0
-    if args.resume:
+    if args.resume_sharded:
+        from nbody_simulation_tpu.utils.checkpoint import (
+            load_sharded_checkpoint)
+        state, start_step = load_sharded_checkpoint(args.resume_sharded,
+                                                    mesh, cfg)
+    elif args.resume:
         from nbody_simulation_tpu.runtime.distributed import (
             load_distributed_checkpoint)
         state, start_step = load_distributed_checkpoint(args.resume, mesh,
@@ -170,6 +181,13 @@ def main(argv=None) -> int:
         from nbody_simulation_tpu.utils.pngio import save_png
         save_png(out / f"frame_{last.step:08d}.png", last.frame)
 
+    if args.checkpoint_sharded:
+        from nbody_simulation_tpu.utils.checkpoint import (
+            save_sharded_checkpoint)
+        save_sharded_checkpoint(args.checkpoint_sharded, world.state,
+                                world.updates)
+        emit(f"sharded checkpoint: {args.checkpoint_sharded} "
+             f"@ step {world.updates}")
     if args.checkpoint:
         # compact() must address every row, so replicate first (a
         # collective every process runs); only process 0 writes the file.

@@ -60,14 +60,17 @@ def _single_process_reference():
 
 
 @pytest.mark.slow
-def test_two_process_run_matches_single_process():
+def test_two_process_run_matches_single_process(tmp_path):
     """2 processes × 4 devices, exact chunking, no rebalance: the canonical
     layout (collective global Morton sort) is process-count-independent, so
     2 distributed steps land on the same state as the single-process run —
-    total mass exactly, KE to fp32 tolerance."""
+    total mass exactly, KE to fp32 tolerance. Also writes a SHARDED
+    checkpoint from both processes (one shard file each) and reloads it
+    in-process on the 8-device mesh."""
+    ck = tmp_path / "shards"
     port = _free_port()
-    p1 = _launch(1, 2, port)
-    p0 = _launch(0, 2, port)
+    p1 = _launch(1, 2, port, extra=("--checkpoint-sharded", str(ck)))
+    p0 = _launch(0, 2, port, extra=("--checkpoint-sharded", str(ck)))
     try:
         out0, _ = p0.communicate(timeout=900)
         out1, _ = p1.communicate(timeout=120)
@@ -86,6 +89,21 @@ def test_two_process_run_matches_single_process():
     want_mass, want_ke = _single_process_reference()
     assert mass == want_mass, (mass, want_mass)
     np.testing.assert_allclose(ke, want_ke, rtol=1e-5)
+    # Both processes wrote their shard; the manifest is complete; the
+    # checkpoint reloads onto this test's own 8-device mesh.
+    import json
+
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.parallel import make_1d_mesh
+    from nbody_simulation_tpu.utils.checkpoint import load_sharded_checkpoint
+    assert (ck / "shard_00000.npz").exists()
+    assert (ck / "shard_00001.npz").exists()
+    man = json.loads((ck / "manifest.json").read_text())
+    assert man["n_live"] == 2048 and man["n_processes"] == 2
+    state, step = load_sharded_checkpoint(
+        ck, make_1d_mesh(8), SimConfig(force_path="bh", theta=50.0))
+    assert step == 2
+    assert int((np.asarray(state.mass) > 0).sum()) == 2048
 
 
 def test_init_distributed_single_process_active():
