@@ -224,12 +224,16 @@ def config5():
         return pos, vel, mass
 
     def time_steps(step_r, step_s, pva):
+        # Warmup spans a full resort cycle (verify-skill rule): both
+        # variants compile AND re-execute once on the steady-state input
+        # shardings before the window.
         every = max(1, cfg.resort_every)
-        for i in range(9):
+        warm = every + 2
+        for i in range(warm):
             pva = (step_r if i % every == 0 else step_s)(*pva)
         sync(pva[0])
         t0 = time.perf_counter()
-        for i in range(9, 9 + 16):
+        for i in range(warm, warm + 16):
             pva = (step_r if i % every == 0 else step_s)(*pva)
         sync(pva[0])
         return (time.perf_counter() - t0) / 16
@@ -270,15 +274,13 @@ def config5():
     dummy0 = jnp.zeros((n_dummy,), jnp.float32)
 
     def step_adv(pos, vel, mass, dummy, resort):
-        # Force the payload-size HBM touch to run strictly AFTER the step
-        # (zero overlap) via scalar tokens. The tokens go through
-        # copy-producing adds so the donated state never aliases a
-        # pallas_call input directly (the 13x donation stall,
-        # models/world.py) and the +0.0 keeps the physics bitwise.
-        tok_in = jnp.sum(dummy[:128]) * 0
-        pos = pos + tok_in          # step depends on the dummy buffer...
+        # Model the zero-overlap materialization of the received payload:
+        # one full read+write of the payload-size buffer strictly AFTER
+        # the step (scalar dependency on the step output). The buffer must
+        # have exactly ONE use — a second read (an earlier tok-in variant
+        # used dummy[:128]) defeats donation and costs a 28 MB
+        # device-to-device copy per step (~25 ms on this backend).
         pos, vel, mass = step_body(pos, vel, mass, resort)
-        # ...and the full payload read+write depends on the step's output.
         dummy = dummy + pos[0, 0] * 0
         return pos, vel, mass, dummy
 
@@ -289,13 +291,18 @@ def config5():
     st2 = distribute_state(uniform_disc(L, seed=0), mesh, cfg)
 
     def time_adv():
+        # Warm across a FULL resort cycle so both variants compile with
+        # the same (post-donation) input shardings before the timed
+        # window — the first adv_r call sees distribute_state's
+        # NamedSharding but later cycles see the jit outputs' sharding,
+        # and a mismatch re-compiles (~50 s over the tunnel).
         pva = (st2.pos, st2.vel, st2.mass, dummy0)
         every = max(1, cfg.resort_every)
-        for i in range(9):
+        for i in range(every + 2):
             pva = (adv_r if i % every == 0 else adv_s)(*pva)
         sync(pva[0])
         t0 = time.perf_counter()
-        for i in range(9, 9 + 16):
+        for i in range(every + 2, every + 2 + 16):
             pva = (adv_r if i % every == 0 else adv_s)(*pva)
         sync(pva[0])
         return (time.perf_counter() - t0) / 16

@@ -192,16 +192,19 @@ class SimConfig:
     # nodes (the Morton-seam rows) continue to full depth; the rest flush
     # to COM (distance-ranked, so only the farthest unresolved rows — where
     # COM is benign — ever degrade). 0 disables (every row walks full
-    # depth). None resolves by θ: 3 levels in the θ≥2 regime (variant
-    # scan at a 1M shard), off at
-    # physics quality (exactness-parity mode).
+    # depth — 15.9 ms/stage at a 1M shard vs 3.9 refined). None resolves
+    # by θ: 1 level in the θ≥2 regime (round-3 sweep at a 1M shard:
+    # 4.58/3.89/3.85 ms per stage for 3/2/1 levels with BIT-IDENTICAL
+    # forest-vs-ring error at θ=50 — the error is forest-dominated, so the
+    # cheapest depth wins), off at physics quality (exactness-parity mode;
+    # seam-stage rows refine at plan granularity instead).
     near_refine_levels: int | None = None
     near_rows: int | None = None
 
     def resolved_near_refine(self) -> int:
         if self.near_refine_levels is not None:
             return self.near_refine_levels
-        return 3 if self.theta >= 2.0 else 0
+        return 1 if self.theta >= 2.0 else 0
 
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).
