@@ -75,48 +75,28 @@ def simulate_distributed(state, mesh: Mesh, config, steps: int,
                          rebalance_every: int = 0, axis: str = AXIS):
     """Engine-style loop for distributed runs: step → render → callback.
 
-    The single-chip Engine wraps a World; distributed states instead drive
-    this host loop — ``snapshot_every`` steps between on-device sharded
-    renders (``on_frame(step, rgba_np)`` receives the merged frame), and an
-    optional ``rebalance_every`` cadence re-partitions drifted ownership
-    ON DEVICE (parallel/repartition.py — a jitted collective global Morton
-    sort, no host round-trip; the step closure's resort counter is reset so
-    the cadence restarts aligned and every jit cache survives). Returns
-    the final state.
+    A thin convenience wrapper over ``runtime.distributed.DistributedWorld``
+    (which owns the step closure, the ON-DEVICE collective rebalance
+    cadence — parallel/repartition.py, no host round-trip — and the
+    adjacency seam-stage rescheduling): ``snapshot_every`` steps between
+    on-device sharded renders (``on_frame(step, rgba_np)`` receives the
+    merged frame). For the full runtime (snapshot queue, telemetry,
+    viewer, checkpoints) use ``runtime.distributed.DistributedEngine``
+    directly. Returns the final state.
     """
     import numpy as np
 
-    from nbody_simulation_tpu.parallel.bh_distributed import (
-        adjacency_stages, make_distributed_bh_step, resolved_seam_stages)
-    from nbody_simulation_tpu.parallel.repartition import (
-        make_collective_rebalance)
+    from nbody_simulation_tpu.runtime.distributed import DistributedWorld
 
-    seams = resolved_seam_stages(config)
-    extra = adjacency_stages(state, mesh, config, axis=axis) if seams else ()
-    step = make_distributed_bh_step(mesh, config, axis=axis,
-                                    extra_pairs=extra)
-    rebalance = (make_collective_rebalance(mesh, config, axis=axis)
-                 if rebalance_every else None)
+    world = DistributedWorld(state, mesh, config, axis=axis,
+                             rebalance_every=rebalance_every)
     for i in range(1, steps + 1):
-        state = step(state)
+        world.step()
         if snapshot_every and on_frame and i % snapshot_every == 0:
             frame = sharded_render_frame(
-                state.pos, state.vel, state.mass, mesh, axis=axis,
-                world_size=config.world_size,
+                world.state.pos, world.state.vel, world.state.mass, mesh,
+                axis=axis, world_size=config.world_size,
                 render_size=config.render_size,
                 heavy_weight=config.heavy_weight)
             on_frame(i, np.asarray(frame))
-        if rebalance_every and i < steps and i % rebalance_every == 0:
-            state = rebalance(state)
-            if seams:
-                new_extra = adjacency_stages(state, mesh, config, axis=axis)
-                if new_extra != extra:
-                    # Seam topology changed (rare; shards drifted across a
-                    # quadrant boundary): rebuild the step closure with the
-                    # new static matchings (compile cached by shape+pairs).
-                    extra = new_extra
-                    step = make_distributed_bh_step(mesh, config, axis=axis,
-                                                    extra_pairs=extra)
-                    continue
-            step.reset()
-    return state
+    return world.state

@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "step); resumable with any process count")
     p.add_argument("--resume-sharded", default=None, metavar="DIR",
                    help="resume from a sharded checkpoint directory")
+    p.add_argument("--record", default=None, metavar="DIR",
+                   help="sharded zstd position-delta recording: every "
+                        "process streams only its own rows "
+                        "(utils.recording.playback_sharded reassembles)")
+    p.add_argument("--record-every", type=int, default=10,
+                   help="steps between recorded frames (checked at batch "
+                        "boundaries with catch-up semantics)")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="process 0: live browser viewer on this port")
     p.add_argument("--quiet", action="store_true")
@@ -130,9 +137,15 @@ def main(argv=None) -> int:
     world = DistributedWorld(state, mesh, cfg,
                              rebalance_every=args.rebalance_every)
     world.updates = start_step
+    recorder = None
+    if args.record:
+        from nbody_simulation_tpu.utils.recording import ShardedRecorder
+        recorder = ShardedRecorder(args.record, every=args.record_every)
     engine = DistributedEngine(
         world, snapshot_interval=0.0,
-        steps_per_snapshot=max(1, args.snapshot_every or 10))
+        steps_per_snapshot=max(1, args.snapshot_every or 10),
+        on_batch=((lambda w: recorder.maybe_record(w.state, w.updates))
+                  if recorder else None))
 
     out = None
     if args.out and pid == 0:
@@ -180,6 +193,11 @@ def main(argv=None) -> int:
     if out is not None and last is not None:
         from nbody_simulation_tpu.utils.pngio import save_png
         save_png(out / f"frame_{last.step:08d}.png", last.frame)
+    if recorder is not None:
+        recorder.close()
+        emit(f"recording: {args.record} — {recorder.frames} frames, "
+             f"raw {recorder.raw_bytes} comp {recorder.comp_bytes} "
+             f"(this process)")
 
     if args.checkpoint_sharded:
         from nbody_simulation_tpu.utils.checkpoint import (

@@ -119,7 +119,9 @@ class DistributedEngine(Engine):
         if kw.get("include_particles"):
             raise ValueError(
                 "include_particles (position recording) would ship full N "
-                "through every snapshot — not supported on distributed runs")
+                "through every snapshot — use sharded recording instead "
+                "(utils.recording.ShardedRecorder via the on_batch hook, "
+                "or run_multihost --record DIR)")
         super().__init__(world, **kw)
 
     def _render_snapshot(self) -> bytes:

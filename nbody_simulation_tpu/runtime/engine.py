@@ -81,7 +81,7 @@ class Engine:
     def __init__(self, world: World, queue_depth: int = 2,
                  steps_per_snapshot: int = 1, include_particles: bool = False,
                  nan_check_every: int = 0, snapshot_interval: float = 0.25,
-                 profile_every: int = 50):
+                 profile_every: int = 50, on_batch=None):
         """``snapshot_interval``: minimum seconds between rendered snapshots.
         The reference gets ups≫fps for free (render on its own thread); here
         the frame readback shares the producer thread (see _render_snapshot),
@@ -94,8 +94,14 @@ class Engine:
         (src/main.rs:74-79). 0 disables (fused steps report zeros). NOTE:
         the first profiled step pays one-off compilation of the per-phase
         dispatch graph, which lands in the counters (like the reference,
-        Counting is cumulative wall time, warts and all)."""
+        Counting is cumulative wall time, warts and all).
+
+        ``on_batch``: optional callable ``f(world)`` invoked on the PRODUCER
+        thread after every step batch — the one place world.state may be
+        read while the engine runs (between donated dispatches). Used for
+        sharded recording on distributed runs (utils/recording.py)."""
         self.world = world
+        self.on_batch = on_batch
         self.include_particles = include_particles
         self.nan_check_every = nan_check_every
         self.snapshot_interval = snapshot_interval
@@ -226,6 +232,8 @@ class Engine:
                 if (self.nan_check_every
                         and self.world.updates % self.nan_check_every == 0):
                     self.world.assert_finite()  # raises → surfaced by stop()
+                if self.on_batch is not None:
+                    self.on_batch(self.world)
                 now = time.monotonic()
                 if (not self.queue.is_full()
                         and now - self._last_snap_t >= self.snapshot_interval):

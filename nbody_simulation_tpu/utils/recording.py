@@ -62,6 +62,16 @@ class Recorder:
             return False
         if step % self.every != 0:
             return False
+        self.record(pos, step)
+        return True
+
+    def record(self, pos: np.ndarray, step: int) -> None:
+        """Unconditionally write one delta frame (cadence handled by the
+        caller). With no prior frame the delta is taken from zeros, i.e. an
+        absolute frame — playback then starts from ``np.zeros``."""
+        pos = np.asarray(pos, np.float32)
+        if self._prev is None:
+            self._prev = np.zeros_like(pos)
         delta = pos - self._prev
         self._prev = pos.copy()
         raw = delta.tobytes()
@@ -71,7 +81,6 @@ class Recorder:
         self.frames += 1
         self.raw_bytes += len(raw)
         self.comp_bytes += len(comp)
-        return True
 
     def close(self) -> None:
         self._f.close()
@@ -90,3 +99,135 @@ def playback(path: str | Path, initial_pos: np.ndarray):
                                   np.float32).reshape(pos.shape)
             pos = pos + delta
             yield step, pos.copy()
+
+
+# --- sharded recording (distributed runs, no full-N on any process) --------
+#
+# The single-chip path ships positions through snapshots (Engine
+# include_particles); on a device mesh that would move full N through every
+# snapshot, so recording goes per-process instead, mirroring the sharded
+# checkpoints (utils/checkpoint.py): each process streams ONLY its
+# addressable rows to its own file, and a small manifest records every
+# process's global row spans so one analysis host can reassemble exact
+# global frames offline.
+
+import json
+
+SHARDED_REC_VERSION = 1
+
+
+class ShardedRecorder:
+    """Per-process position-delta recording of a device-sharded state.
+
+    ``path`` is a directory: this process writes ``rec_{pid:05d}.bin`` (the
+    same delta-frame stream as ``Recorder``, covering its local shards in
+    device-major order, padding rows included — they sit still and compress
+    to ~nothing), and process 0 writes ``manifest.json`` with every
+    process's global row spans. The FIRST frame each process writes is
+    absolute (delta from zeros), so ``playback_sharded`` needs no separate
+    initial state. Cadence is ``step % every == 0`` checked with >= catch-up
+    semantics (``maybe_record`` may be called at batch boundaries coarser
+    than ``every``). Per-process memory/IO is O(N / num_processes).
+    """
+
+    def __init__(self, path: str | Path, every: int = 10, level: int = 22):
+        import jax
+        self.dir = Path(path)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.pid = jax.process_index()
+        self.every = max(1, every)
+        self._next_due: int | None = None  # set from the first call's step
+        self._rec = Recorder(self.dir / f"rec_{self.pid:05d}.bin",
+                             every=every, level=level)
+        self._manifest_done = False
+
+    def _local_block(self, arr) -> tuple[np.ndarray, list[tuple[int, int]]]:
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        spans = [(int(s.index[0].start or 0),
+                  int(s.index[0].stop if s.index[0].stop is not None
+                      else arr.shape[0])) for s in shards]
+        return np.concatenate([np.asarray(s.data) for s in shards]), spans
+
+    def _write_manifest(self, state, spans) -> None:
+        import jax
+        nproc = jax.process_count()
+        if nproc == 1:
+            all_spans = [spans]
+        else:
+            from jax.experimental import multihost_utils
+            mine = np.asarray(spans, np.int64)
+            gathered = np.asarray(multihost_utils.process_allgather(mine))
+            all_spans = [[(int(a), int(b)) for a, b in proc]
+                         for proc in gathered.reshape(nproc, -1, 2)]
+        if self.pid == 0:
+            man = {"version": SHARDED_REC_VERSION, "every": self.every,
+                   "n_processes": nproc, "n_rows": int(state.pos.shape[0]),
+                   "spans": all_spans}
+            tmp = self.dir / "manifest.json.tmp"
+            tmp.write_text(json.dumps(man))
+            import os
+            os.replace(tmp, self.dir / "manifest.json")
+        self._manifest_done = True
+
+    def maybe_record(self, state, step: int) -> bool:
+        """Record this process's local rows if a cadence point (a multiple
+        of ``every``) was reached since the last call. ``state`` is a
+        distributed ParticleState."""
+        if self._next_due is None:  # first call anchors the cadence
+            self._next_due = -(-step // self.every) * self.every
+        if step < self._next_due:
+            return False
+        block, spans = self._local_block(state.pos)
+        if not self._manifest_done:
+            self._write_manifest(state, spans)
+        self._rec.record(block, step)
+        self._next_due = (step // self.every + 1) * self.every
+        return True
+
+    @property
+    def frames(self) -> int:
+        return self._rec.frames
+
+    @property
+    def raw_bytes(self) -> int:
+        return self._rec.raw_bytes
+
+    @property
+    def comp_bytes(self) -> int:
+        return self._rec.comp_bytes
+
+    def close(self) -> None:
+        self._rec.close()
+
+
+def playback_sharded(path: str | Path):
+    """Yields (step, global padded positions) from a sharded recording.
+
+    Reads every process's stream in lockstep (all processes record at the
+    same cadence points) and scatters each block into the global row order
+    via the manifest spans. Rows are the PADDED device-major layout of the
+    distributed state — filter live particles with the run's masses (e.g.
+    from a checkpoint) if needed; padding rows sit at PAD_POS.
+    """
+    path = Path(path)
+    man = json.loads((path / "manifest.json").read_text())
+    if man["version"] != SHARDED_REC_VERSION:
+        raise ValueError(f"unsupported recording version {man['version']}")
+    spans = man["spans"]
+    n_rows = man["n_rows"]
+    streams = []
+    for pid in range(man["n_processes"]):
+        rows = sum(hi - lo for lo, hi in spans[pid])
+        streams.append(playback(path / f"rec_{pid:05d}.bin",
+                                np.zeros((rows, 2), np.float32)))
+    for frames in zip(*streams):
+        step = frames[0][0]
+        out = np.zeros((n_rows, 2), np.float32)
+        for (fstep, block), proc_spans in zip(frames, spans):
+            assert fstep == step, "per-process streams out of lockstep"
+            off = 0
+            for lo, hi in proc_spans:
+                out[lo:hi] = block[off:off + hi - lo]
+                off += hi - lo
+        yield step, out

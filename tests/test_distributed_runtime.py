@@ -158,6 +158,58 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     w4.assert_finite()
 
 
+def test_sharded_recording_roundtrip(tmp_path):
+    """Sharded recording: per-process delta streams + manifest reassemble
+    the exact global padded layout at every cadence point, with no process
+    materializing full N (here: 1 process × 8 devices, the same
+    addressable-shards path a real multi-process run takes)."""
+    from nbody_simulation_tpu.utils.recording import (ShardedRecorder,
+                                                      playback_sharded)
+
+    w = make_world(n=1024, nd=8, seed=7)
+    rec = ShardedRecorder(tmp_path / "rec", every=2)
+    history = {}
+    for i in range(1, 7):
+        w.step()
+        if rec.maybe_record(w.state, w.updates):
+            history[w.updates] = np.asarray(w.state.pos).copy()
+    rec.close()
+    assert rec.frames == 3          # steps 2, 4, 6
+    assert (tmp_path / "rec" / "manifest.json").exists()
+    got = dict(playback_sharded(tmp_path / "rec"))
+    assert sorted(got) == sorted(history)
+    for step, want in history.items():
+        # first frame is absolute (bitwise); later frames accumulate one
+        # f32 rounding per delta-add — bound well under a pixel (80 world
+        # units) at world scale 1e5.
+        np.testing.assert_allclose(got[step], want, atol=0.1)
+
+
+def test_sharded_recording_engine_and_catchup(tmp_path):
+    """ShardedRecorder through the Engine on_batch hook: batch boundaries
+    coarser than `every` still record (catch-up semantics), and the stream
+    plays back in lockstep."""
+    from nbody_simulation_tpu.utils.recording import (ShardedRecorder,
+                                                      playback_sharded)
+
+    w = make_world(n=512, nd=4, seed=9)
+    rec = ShardedRecorder(tmp_path / "rec", every=2)
+    eng = DistributedEngine(
+        w, snapshot_interval=0.0, steps_per_snapshot=3,
+        on_batch=lambda world: rec.maybe_record(world.state, world.updates))
+    eng.start(max_steps=9)
+    while eng.next_snapshot(timeout=60.0) is not None:
+        pass
+    eng.stop()
+    rec.close()
+    # Batches end at steps 3, 6, 9; the first call (step 3) anchors the
+    # cadence at the next multiple of 2 (step 4), caught up at batch end 6
+    # (next due 8, caught up at 9) → frames at 6 and 9.
+    assert rec.frames == 2
+    steps = [s for s, _ in playback_sharded(tmp_path / "rec")]
+    assert steps == [6, 9]
+
+
 def test_multihost_cli_sharded_checkpoint(tmp_path):
     """CLI --checkpoint-sharded / --resume-sharded round-trip."""
     env = dict(os.environ)
