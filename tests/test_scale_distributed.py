@@ -78,3 +78,38 @@ def test_524k_soak_conserves():
     drift = np.abs(np.asarray(d["momentum"]) - p0).max()
     assert drift < 0.01 * N, drift
     assert float(d["kinetic_energy"]) > 0
+
+
+@pytest.mark.slow
+def test_p16_virtual_mesh_forest_and_seams():
+    """P-scaling spot check at SIXTEEN virtual devices (the conftest pins
+    this process to 8, so this runs the multihost CLI in a subprocess):
+    the forest far-mode (O(1) collective rounds in P) at θ=50 with a
+    collective rebalance mid-run, then the θ=0.5 physics-quality path
+    whose adjacency seam stages must re-derive a valid static matching at
+    the larger P. Guards the O(1)-in-P claim at a P the regular tier
+    never exercises."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = Path(__file__).resolve().parent.parent
+    base = [sys.executable, "-m", "nbody_simulation_tpu.run_multihost",
+            "--scenario", "uniform", "--n", str(16 * 512),
+            "--cpu-devices", "16"]
+    r = subprocess.run(
+        base + ["--steps", "6", "--rebalance-every", "3"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert f"len: {16 * 512}" in r.stdout
+    assert "done: 6 steps" in r.stdout
+    assert f"mass {16 * 512:.1f}" in r.stdout          # exact conservation
+    r2 = subprocess.run(
+        base + ["--steps", "2", "--theta", "0.5", "--rebalance-every", "0"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "done: 2 steps" in r2.stdout
