@@ -2,6 +2,7 @@ from nbody_simulation_tpu.ops.force import (
     FLT_MIN_NORMAL,
     pair_accel,
     direct_accel,
+    direct_accel_at,
 )
 from nbody_simulation_tpu.ops.allpairs import allpairs_accel
 from nbody_simulation_tpu.ops.allpairs_grad import allpairs_accel_diff
@@ -18,6 +19,7 @@ __all__ = [
     "FLT_MIN_NORMAL",
     "pair_accel",
     "direct_accel",
+    "direct_accel_at",
     "allpairs_accel",
     "allpairs_accel_diff",
     "allpairs_potential",

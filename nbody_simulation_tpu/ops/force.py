@@ -85,3 +85,40 @@ def direct_accel(pos: jax.Array, mass: jax.Array,
     starts = jnp.arange(0, n_pad, chunk)
     out = jax.lax.map(one_chunk, starts)  # (n_pad/chunk, chunk, 2)
     return out.reshape(n_pad, 2)[:n]
+
+
+@partial(jax.jit, static_argnames=("softening2", "row_chunk"))
+def direct_accel_at(tpos: jax.Array, pos: jax.Array, mass: jax.Array,
+                    softening2: float = 1e-3,
+                    row_chunk: int = 1024) -> jax.Array:
+    """Direct acceleration at arbitrary target positions ``tpos`` (M,2)
+    from all sources ``pos``/``mass`` (N rows) — the sampled-ground-truth
+    companion of :func:`direct_accel`.
+
+    At scale a full O(N²) oracle is infeasible, but exact truth for a
+    random SAMPLE of targets is O(M·N): this is how the slow-tier tests
+    calibrate approximation-class error at half-million N. A target that
+    exactly coincides with a source skips that pair via the reference's
+    is_normal guard (src/main.rs:240-243) — so passing rows of ``pos``
+    as targets reproduces ``direct_accel`` for those rows.
+    """
+    m = tpos.shape[0]
+    chunk = min(row_chunk, m)
+    m_pad = -(-m // chunk) * chunk
+    x, y = pos[:, 0], pos[:, 1]
+    xt, yt = tpos[:, 0], tpos[:, 1]
+    if m_pad != m:
+        xt = jnp.concatenate([xt, jnp.zeros(m_pad - m, jnp.float32)])
+        yt = jnp.concatenate([yt, jnp.zeros(m_pad - m, jnp.float32)])
+
+    def one_chunk(start):
+        xi = jax.lax.dynamic_slice(xt, (start,), (chunk,))
+        yi = jax.lax.dynamic_slice(yt, (start,), (chunk,))
+        dx = x[None, :] - xi[:, None]
+        dy = y[None, :] - yi[:, None]
+        ax, ay = pair_accel(dx, dy, mass[None, :], softening2)
+        return jnp.stack([ax.sum(axis=1), ay.sum(axis=1)], axis=-1)
+
+    starts = jnp.arange(0, m_pad, chunk)
+    out = jax.lax.map(one_chunk, starts)
+    return out.reshape(m_pad, 2)[:m]

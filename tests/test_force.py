@@ -80,6 +80,21 @@ def test_direct_accel_chunking_invariance(rng):
     np.testing.assert_array_equal(a1, a2)
 
 
+def test_direct_accel_at_matches_rows(rng):
+    """Sampled-target direct accel: passing rows of pos as targets must
+    reproduce direct_accel for those rows bitwise (same pair order, same
+    is_normal self-skip), at any chunking and for non-multiple M."""
+    from nbody_simulation_tpu.ops.force import direct_accel_at
+    n = 384
+    pos, mass = rand_cloud(rng, n)
+    full = np.asarray(direct_accel(jnp.asarray(pos), jnp.asarray(mass)))
+    idx = rng.choice(n, 100, replace=False)
+    got = np.asarray(direct_accel_at(
+        jnp.asarray(pos[idx]), jnp.asarray(pos), jnp.asarray(mass),
+        row_chunk=64))
+    np.testing.assert_array_equal(got, full[idx])
+
+
 def test_zero_mass_padding_exerts_nothing(rng):
     n = 128
     pos, mass = rand_cloud(rng, n)

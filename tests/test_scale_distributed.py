@@ -11,6 +11,7 @@ import pytest
 
 from nbody_simulation_tpu.config import SimConfig
 from nbody_simulation_tpu.models.scenarios import uniform_disc
+from nbody_simulation_tpu.ops.force import direct_accel_at
 from nbody_simulation_tpu.ops.traversal import bh_accel
 from nbody_simulation_tpu.parallel import (bh_distributed_accel,
                                            distribute_state, make_1d_mesh,
@@ -23,17 +24,24 @@ N = 524_288
 @pytest.mark.slow
 def test_524k_parity_vs_single_chip():
     """Distributed (flagship forest mode, default caps) vs the single-chip
-    walk over the same (padded, sorted) arrays at half-million scale.
+    walk at half-million scale, both calibrated against SAMPLED direct
+    ground truth.
 
     NODE-SET-exact parity (asserted at 1e-6 in
     tests/test_distributed.py::test_distributed_matches_single_chip at
     N=8k) requires caps ≥ the GLOBAL level widths — at 524k that is a
     frontier of 4096+, which makes the planner O(N²/P): infeasible by
     design, not by accident. At scale both sides make different *valid*
-    capped BH approximations, so the contract is approximation-CLASS
-    parity: the distributed answer differs from the single-chip answer by
-    no more than the θ=50 walk's own approximation error (~5e-2 median vs
-    direct; same bound the forest-vs-ring tests use)."""
+    capped BH approximations, and at θ=50 (the reference's own aggressive
+    quality trade, src/main.rs:35) EACH has large error vs direct
+    summation — measured on the full 524k disc: single-chip median 0.303,
+    distributed median 0.241 (the distributed answer is CLOSER to truth;
+    its local+ring-neighbor stages are exact deeper than the capped global
+    walk). Comparing the two approximations to each other (median 0.107)
+    therefore bounds nothing useful. The honest contract is approximation-
+    CLASS parity: against exact ground truth at a seeded target sample
+    (O(M·N) via direct_accel_at), the distributed error must not exceed
+    the single-chip walk's own error class."""
     mesh = make_1d_mesh(8)
     cfg = SimConfig(force_path="bh", theta=50.0)
     ds = distribute_state(uniform_disc(N, seed=40), mesh, cfg)
@@ -42,12 +50,26 @@ def test_524k_parity_vs_single_chip():
     want = np.asarray(bh_accel(
         jnp.asarray(pos_all), jnp.asarray(mass_all), theta=50.0,
         multipole=1, morton_bits=15, plan_leaves=cfg.plan_leaves))
-    real = mass_all > 0
-    rel = (np.linalg.norm(got[real] - want[real], axis=1)
-           / np.maximum(np.linalg.norm(want[real], axis=1), 1e-12))
     assert np.isfinite(got).all()
-    assert np.median(rel) < 2e-2, np.median(rel)
-    assert np.percentile(rel, 99.9) < 1.0, np.percentile(rel, 99.9)
+    real_idx = np.flatnonzero(mass_all > 0)
+    sample = np.random.default_rng(3).choice(real_idx, 4096, replace=False)
+    truth = np.asarray(direct_accel_at(
+        jnp.asarray(pos_all[sample]), jnp.asarray(pos_all),
+        jnp.asarray(mass_all)))
+
+    def rel_err(approx):
+        return (np.linalg.norm(approx[sample] - truth, axis=1)
+                / np.maximum(np.linalg.norm(truth, axis=1), 1e-12))
+
+    rel_d, rel_s = rel_err(got), rel_err(want)
+    # Class parity with margin (measured ratio ≈ 0.80 median / 0.86 p90),
+    # plus absolute sanity rails on the regime itself.
+    assert np.median(rel_d) < 1.3 * np.median(rel_s), (
+        np.median(rel_d), np.median(rel_s))
+    assert (np.percentile(rel_d, 90)
+            < 1.3 * np.percentile(rel_s, 90)), (
+        np.percentile(rel_d, 90), np.percentile(rel_s, 90))
+    assert np.median(rel_d) < 0.5, np.median(rel_d)
 
 
 @pytest.mark.slow
