@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(composited over black like the reference window)")
     p.add_argument("--weighted-leaf-com", action="store_true",
                    help="fix the reference's unweighted-leaf-COM quirk")
+    p.add_argument("--energy-every", type=int, default=0, metavar="K",
+                   help="steps between live total-energy prints (0 = off): "
+                        "E = KE + U under the conservative counterpart law "
+                        "(ops/energy.py; the reference's own law is non-"
+                        "conservative) plus |dE/E0| drift since start — an "
+                        "O(N²/2) pair sweep per sample, so pick a cadence")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="serve a live browser viewer on this port "
@@ -108,9 +114,15 @@ def main(argv=None) -> int:
 
     world = World(state, cfg)
     world.updates = start_step
+    on_batch = None
+    if args.energy_every:
+        from nbody_simulation_tpu.utils.telemetry import EnergyMeter
+        on_batch = EnergyMeter(args.energy_every, emit=emit,
+                               softening2=cfg.softening2)
     engine = Engine(world, include_particles=bool(args.record),
                     snapshot_interval=args.snapshot_interval,
-                    steps_per_snapshot=args.steps_per_snapshot)
+                    steps_per_snapshot=args.steps_per_snapshot,
+                    on_batch=on_batch)
 
     if args.serve:
         from nbody_simulation_tpu.viz import ViewerServer

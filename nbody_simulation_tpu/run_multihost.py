@@ -65,8 +65,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--record-every", type=int, default=10,
                    help="steps between recorded frames (checked at batch "
                         "boundaries with catch-up semantics)")
+    p.add_argument("--energy-every", type=int, default=0, metavar="K",
+                   help="steps between live total-energy prints (0 = off): "
+                        "psum'd ring pair sweep, O(N²/P) per device — a "
+                        "cadence diagnostic (utils.telemetry.EnergyMeter)")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="process 0: live browser viewer on this port")
+    p.add_argument("--selfcheck", action="store_true",
+                   help="before stepping, compare the distributed accel "
+                        "(with this run's seam stages) against the "
+                        "single-chip walk on the replicated state and "
+                        "print the relative-error quantiles — the "
+                        "launch-time quality gate for any mesh/process "
+                        "topology (O(N) on process 0; use at modest N)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--exact-chunks", action="store_true",
                    help="exact-slice scenario chunking (O(N) host memory, "
@@ -137,15 +148,50 @@ def main(argv=None) -> int:
     world = DistributedWorld(state, mesh, cfg,
                              rebalance_every=args.rebalance_every)
     world.updates = start_step
+    if args.selfcheck:
+        # Every process joins the collectives; process 0 runs the
+        # single-chip oracle walk and prints the quantiles.
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nbody_simulation_tpu.ops.traversal import bh_accel
+        from nbody_simulation_tpu.parallel import bh_distributed_accel
+        got = bh_distributed_accel(state.pos, state.mass, mesh,
+                                   config=cfg, extra_pairs=world._extra)
+        rep = jax.jit(lambda x: x + 0,
+                      out_shardings=NamedSharding(mesh, P()))
+        pos_all = np.asarray(rep(state.pos))
+        mass_all = np.asarray(rep(state.mass))
+        got_all = np.asarray(rep(got))
+        if pid == 0:
+            want = np.asarray(bh_accel(
+                jnp.asarray(pos_all), jnp.asarray(mass_all),
+                theta=cfg.theta, multipole=cfg.resolved_multipole(),
+                morton_bits=cfg.resolved_morton_bits(),
+                plan_leaves=cfg.plan_leaves))
+            real = mass_all > 0
+            rel = (np.linalg.norm(got_all[real] - want[real], axis=1)
+                   / np.maximum(np.linalg.norm(want[real], axis=1), 1e-12))
+            emit(f"selfcheck: median={np.median(rel):.3e} "
+                 f"p99={np.percentile(rel, 99):.3e}")
     recorder = None
     if args.record:
         from nbody_simulation_tpu.utils.recording import ShardedRecorder
         recorder = ShardedRecorder(args.record, every=args.record_every)
+    callbacks = []
+    if recorder is not None:
+        callbacks.append(lambda w: recorder.maybe_record(w.state, w.updates))
+    if args.energy_every:
+        # Collective: every process joins the psum'd sweep; only process 0
+        # prints (emit is a no-op elsewhere).
+        from nbody_simulation_tpu.utils.telemetry import EnergyMeter
+        callbacks.append(EnergyMeter(args.energy_every, emit=emit,
+                                     softening2=cfg.softening2))
     engine = DistributedEngine(
         world, snapshot_interval=0.0,
         steps_per_snapshot=max(1, args.snapshot_every or 10),
-        on_batch=((lambda w: recorder.maybe_record(w.state, w.updates))
-                  if recorder else None))
+        on_batch=((lambda w: [cb(w) for cb in callbacks])
+                  if callbacks else None))
 
     out = None
     if args.out and pid == 0:

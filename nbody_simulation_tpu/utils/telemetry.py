@@ -79,6 +79,48 @@ class trace:
         return False
 
 
+class EnergyMeter:
+    """Cadence total-energy telemetry for the Engine's ``on_batch`` hook.
+
+    Makes BASELINE config 2's energy-drift check a LIVE production metric:
+    every ``every`` steps it evaluates E = KE + U under the conservative
+    counterpart law (ops/energy.py — the reference's own force law is
+    non-conservative, see that module) and prints the drift relative to the
+    first sample. Works on both the single-chip World and DistributedWorld
+    (detected by the ``mesh`` attribute; the sharded path psums a ring
+    ppermute pair sweep, O(N²/P) per device). Samples are recorded in
+    ``self.samples`` as (step, energy) for programmatic use.
+    """
+
+    def __init__(self, every: int, emit=print, softening2: float = 1e-3):
+        self.every = max(1, every)
+        self.emit = emit
+        self.softening2 = softening2
+        self.e0: float | None = None
+        self.samples: list[tuple[int, float]] = []
+        self._last = None
+
+    def __call__(self, world) -> None:
+        step = world.updates
+        if self._last is not None and step - self._last < self.every:
+            return
+        self._last = step
+        if getattr(world, "mesh", None) is not None:
+            from nbody_simulation_tpu.parallel.sharded_step import (
+                sharded_total_energy)
+            e = float(sharded_total_energy(
+                world.state, world.mesh,
+                softening2=self.softening2)["total_energy"])
+        else:
+            from nbody_simulation_tpu.ops.energy import total_energy
+            e = float(total_energy(world.state, softening2=self.softening2))
+        if self.e0 is None:
+            self.e0 = e
+        drift = abs(e - self.e0) / max(abs(self.e0), 1e-30)
+        self.samples.append((step, e))
+        self.emit(f"energy: step {step} E={e:.6e} |dE/E0|={drift:.3e}")
+
+
 class RateMeter:
     """Once-per-second fps/ups printer (src/main.rs:148-156 semantics)."""
 

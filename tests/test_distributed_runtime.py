@@ -53,6 +53,30 @@ def test_distributed_engine_end_to_end():
     assert snaps[-1].counting.sum_gravity > 0
 
 
+def test_distributed_engine_energy_meter():
+    """EnergyMeter detects the mesh and runs the psum'd sharded sweep; its
+    value must match the single-chip total_energy on the replicated state."""
+    from nbody_simulation_tpu.ops.energy import total_energy
+    from nbody_simulation_tpu.state import ParticleState
+    from nbody_simulation_tpu.utils.telemetry import EnergyMeter
+    w = make_world()
+    meter = EnergyMeter(4, emit=lambda *_: None)
+    eng = DistributedEngine(w, steps_per_snapshot=2, on_batch=meter)
+    eng.start(max_steps=8)
+    eng.join(timeout=120)
+    eng.stop()
+    assert w.updates == 8
+    assert meter.samples and np.isfinite([e for _, e in meter.samples]).all()
+    # Same code path the meter used, on the FINAL state, vs the single-chip
+    # evaluation of the replicated arrays (padding is inert in both).
+    from nbody_simulation_tpu.parallel.sharded_step import sharded_total_energy
+    e_sh = float(sharded_total_energy(w.state, w.mesh)["total_energy"])
+    single = float(total_energy(
+        ParticleState(np.asarray(w.state.pos), np.asarray(w.state.vel),
+                      np.asarray(w.state.mass))))
+    np.testing.assert_allclose(e_sh, single, rtol=1e-4)
+
+
 def test_distributed_world_rebalance_and_reconfigure():
     w = make_world(rebalance_every=3)
     total0 = None

@@ -102,6 +102,37 @@ def test_engine_end_to_end():
     assert snaps[-1].frame[..., 3].max() > 0  # something was drawn
 
 
+def test_engine_energy_meter():
+    """EnergyMeter on the on_batch hook: cadence sampling, drift vs the
+    first sample, and the last sample equal to a direct total_energy
+    evaluation of the final state."""
+    from nbody_simulation_tpu.ops.energy import total_energy
+    from nbody_simulation_tpu.utils.telemetry import EnergyMeter
+    cfg = SimConfig(force_path="direct", render_size=50, dt=1e-4)
+    world = World(uniform_disc(256, seed=1), cfg)
+    lines = []
+    meter = EnergyMeter(10, emit=lines.append)
+    eng = Engine(world, steps_per_snapshot=10, on_batch=meter)
+    eng.start(max_steps=40)
+    eng.join(timeout=60)
+    eng.stop()
+    assert world.updates == 40
+    steps = [s for s, _ in meter.samples]
+    assert steps and steps == sorted(steps)
+    assert all(b - a >= 10 for a, b in zip(steps, steps[1:])), steps
+    energies = np.array([e for _, e in meter.samples])
+    assert np.isfinite(energies).all()
+    assert meter.e0 is not None
+    # Last sample lands on the final batch boundary == final state.
+    assert meter.samples[-1][0] == 40
+    np.testing.assert_allclose(
+        meter.samples[-1][1], float(total_energy(world.state)), rtol=1e-5)
+    # Tiny dt → near-conserved under the conservative counterpart law.
+    drift = np.abs(energies - meter.e0) / abs(meter.e0)
+    assert drift.max() < 1e-2, drift
+    assert lines and lines[0].startswith("energy: step ")
+
+
 def test_engine_drops_when_consumer_slow():
     cfg = SimConfig(force_path="direct", render_size=50)
     world = World(uniform_disc(256, seed=1), cfg)

@@ -123,15 +123,28 @@ def test_p16_virtual_mesh_forest_and_seams():
     base = [sys.executable, "-m", "nbody_simulation_tpu.run_multihost",
             "--scenario", "uniform", "--n", str(16 * 512),
             "--cpu-devices", "16"]
+    def selfcheck_median(stdout):
+        line = [ln for ln in stdout.splitlines()
+                if ln.startswith("selfcheck:")]
+        assert line, stdout
+        return float(line[0].split("median=")[1].split()[0])
+
     r = subprocess.run(
-        base + ["--steps", "6", "--rebalance-every", "3"],
+        base + ["--steps", "6", "--rebalance-every", "3", "--selfcheck"],
         cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stdout + r.stderr
     assert f"len: {16 * 512}" in r.stdout
     assert "done: 6 steps" in r.stdout
     assert f"mass {16 * 512:.1f}" in r.stdout          # exact conservation
+    # θ=50 class parity at small N: the walks are shallow, so the two
+    # approximations track each other closely here (measured ~1e-3).
+    assert selfcheck_median(r.stdout) < 0.05, r.stdout
     r2 = subprocess.run(
-        base + ["--steps", "2", "--theta", "0.5", "--rebalance-every", "0"],
+        base + ["--steps", "2", "--theta", "0.5", "--rebalance-every", "0",
+                "--selfcheck"],
         cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert "done: 2 steps" in r2.stdout
+    # Physics quality at P=16: forest + adjacency seam stages must stay in
+    # the exact-walk class (the 8-device tier measures median 3.5e-8).
+    assert selfcheck_median(r2.stdout) < 1e-3, r2.stdout
