@@ -138,10 +138,11 @@ def uniform_disc(n: int, seed: int = 0, radius: float = 25_000.0,
 
 
 def _chunk_bounds(n: int, pid: int, nproc: int) -> tuple[int, int]:
-    """Row range [lo, hi) of process ``pid``'s chunk of ``n`` rows."""
-    base, rem = divmod(n, nproc)
-    lo = pid * base + min(pid, rem)
-    return lo, lo + base + (1 if pid < rem else 0)
+    """Row range [lo, hi) of process ``pid``'s chunk of ``n`` rows —
+    delegates to THE shared convention (parallel/multihost.chunk_bounds),
+    which sharded-checkpoint reassembly also uses."""
+    from nbody_simulation_tpu.parallel.multihost import chunk_bounds
+    return chunk_bounds(n, pid, nproc)
 
 
 def galaxy_chunk(pid: int, nproc: int, seed: int = 0,
@@ -194,6 +195,17 @@ def scenario_chunk(name: str, pid: int, nproc: int, seed: int = 0,
     ``nproc``.
     """
     if name == "galaxy":
+        if exact and nproc > 1:
+            # Honor the bitwise process-count-invariance contract: build
+            # the FULL galaxy (O(N) transient host memory, like the other
+            # exact branches) and slice this process's band. The streaming
+            # galaxy_chunk draws its disc bodies from per-process seeds,
+            # which is a different RNG realization per nproc.
+            full = galaxy(seed=seed, **kw)
+            lo, hi = _chunk_bounds(full.n, pid, nproc)
+            return ParticleState.create(np.asarray(full.pos[lo:hi]),
+                                        np.asarray(full.vel[lo:hi]),
+                                        np.asarray(full.mass[lo:hi]))
         return galaxy_chunk(pid, nproc, seed=seed, **kw)
     gen = {"uniform": uniform_disc, "plummer": plummer,
            "collision": collision}[name]

@@ -7,6 +7,7 @@ from nbody_simulation_tpu.ops.force import (
 from nbody_simulation_tpu.ops.allpairs import allpairs_accel
 from nbody_simulation_tpu.ops.allpairs_grad import allpairs_accel_diff
 from nbody_simulation_tpu.ops.energy import (allpairs_potential,
+                                             bh_total_energy,
                                              kinetic_energy,
                                              potential_energy, total_energy)
 from nbody_simulation_tpu.ops.integrate import euler_step, leapfrog_step
@@ -23,6 +24,7 @@ __all__ = [
     "allpairs_accel",
     "allpairs_accel_diff",
     "allpairs_potential",
+    "bh_total_energy",
     "kinetic_energy",
     "potential_energy",
     "total_energy",

@@ -86,12 +86,26 @@ def allpairs_potential(pos: jax.Array, mass: jax.Array,
         src_pos = pos
     if src_mass is None:
         src_mass = mass
+    n_out = pos.shape[0]
+    # Pad both axes to tile multiples with inert particles: zero-mass
+    # sources contribute exactly 0 to φ (the mask), and padded targets are
+    # sliced off the output — so any N works (the engine pads states to a
+    # 256 multiple only, which the 2048 source tile would otherwise
+    # reject, crashing --energy-every mid-run).
+    def pad2(a, m, fill=0.0):
+        n = a.shape[0]
+        t = -(-n // m) * m
+        if t == n:
+            return a
+        z = jnp.full((t - n,) + a.shape[1:], jnp.float32(fill))
+        return jnp.concatenate([a, z], axis=0)
+
+    tile_i = min(tile_i, pos.shape[0])
+    tile_j = min(tile_j, src_pos.shape[0])
+    pos = pad2(pos, tile_i)
+    src_pos = pad2(src_pos, tile_j)
+    src_mass = pad2(src_mass, tile_j)
     ni, nj = pos.shape[0], src_pos.shape[0]
-    tile_i = min(tile_i, ni)
-    tile_j = min(tile_j, nj)
-    if ni % tile_i or nj % tile_j:
-        raise ValueError(
-            f"N=({ni},{nj}) not divisible by tiles ({tile_i},{tile_j})")
     if interpret or jax.default_backend() == "cpu":
         interpret = True
 
@@ -116,7 +130,7 @@ def allpairs_potential(pos: jax.Array, mass: jax.Array,
         interpret=interpret,
     )(pos[:, 0:1], pos[:, 1:2], src_pos[:, 0].reshape(1, nj),
       src_pos[:, 1].reshape(1, nj), src_mass.reshape(1, nj))
-    return phi[:, 0]
+    return phi[:n_out, 0]
 
 
 def potential_energy(pos: jax.Array, mass: jax.Array,
@@ -134,6 +148,40 @@ def total_energy(state, softening2: float = 1e-3) -> jax.Array:
     """E = KE + U of a (single-chip) ParticleState; padding is inert."""
     return (kinetic_energy(state.vel, state.mass)
             + potential_energy(state.pos, state.mass, softening2=softening2))
+
+
+def bh_total_energy(state, config) -> jax.Array:
+    """Approximate E = KE + U from the BH-planned source columns.
+
+    O(N·C) instead of the exact sweep's O(N²/2): the same sort + build +
+    plan the force path runs (ops/traversal.py), with the planned columns
+    fed to the counterpart potential instead of the force kernel — the
+    scalable cadence-energy evaluation for large N. The approximation is
+    θ-consistent with the forces, so its drift tracks the integrator the
+    same way the exact evaluation does (tests/test_energy.py: exact-class
+    match at θ=0 with caps ≥ level widths, <1e-3 at physics-quality θ).
+    """
+    from nbody_simulation_tpu.ops.traversal import bh_plan_sources
+    from nbody_simulation_tpu.ops.tree import build_tree
+
+    cfg = config
+    tree, _ = build_tree(state.pos, state.mass, leaf_size=cfg.leaf_size,
+                         world_size=cfg.world_size,
+                         unweighted_leaf_com=cfg.unweighted_leaf_com,
+                         morton_bits=cfg.resolved_morton_bits())
+    f, l = cfg.resolved_caps()
+    n_leaves, s, _ = tree.leaf_pos.shape
+    pl_ = max(1, min(cfg.plan_leaves, n_leaves))
+    while n_leaves % pl_:
+        pl_ //= 2
+    src_x, src_y, src_m = bh_plan_sources(
+        tree, cfg.theta, f, l, plan_leaves=pl_, multipole=1)[:3]
+    g = n_leaves // pl_
+    tgt_pos = tree.leaf_pos.reshape(g, pl_ * s, 2)
+    tgt_mass = tree.leaf_mass.reshape(g, pl_ * s)
+    u = bh_potential_from_columns(tgt_mass, tgt_pos, src_x, src_y, src_m,
+                                  softening2=cfg.softening2)
+    return kinetic_energy(state.vel, state.mass) + u
 
 
 def bh_potential_from_columns(tgt_mass: jax.Array, tgt_pos: jax.Array,

@@ -138,6 +138,17 @@ def shard_cut_aabbs(state: ParticleState, mesh: Mesh, config: SimConfig,
     build, ops/tree.py). Tiny: (P, W, 2) each, fetched to host once per
     adjacency scheduling. Returns (mins, maxs) as NumPy."""
     W = 1 << max(0, config.forest_levels - 1)
+    mn, mx = _cut_aabbs_fn(mesh, W, axis)(state.pos, state.mass)
+    return np.asarray(mn), np.asarray(mx)
+
+
+@functools.lru_cache(maxsize=16)
+def _cut_aabbs_fn(mesh: Mesh, W: int, axis: str):
+    """Memoized jitted collective for shard_cut_aabbs: it runs after EVERY
+    rebalance (DistributedWorld.step → adjacency_stages), so a fresh
+    jit(shard_map(...)) closure per call would retrace each time and pay
+    the serial-compile tunnel at the rebalance cadence (the same hazard
+    repartition._cached solves the same way)."""
 
     def local(pos_l, mass_l):
         L = pos_l.shape[0]
@@ -152,11 +163,9 @@ def shard_cut_aabbs(state: ParticleState, mesh: Mesh, config: SimConfig,
         return (jax.lax.all_gather(mn, axis, axis=0, tiled=False),
                 jax.lax.all_gather(mx, axis, axis=0, tiled=False))
 
-    f = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(axis, None), P(axis)),
         out_specs=(P(), P()), check_vma=False))
-    mn, mx = f(state.pos, state.mass)
-    return np.asarray(mn), np.asarray(mx)
 
 
 def adjacency_stages(state: ParticleState, mesh: Mesh, config: SimConfig,
@@ -405,6 +414,14 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     # forest mode needs ≥4 devices to have any ring-far subtree at all.
     forest = cfg.resolved_far_mode() == "forest" and n_dev >= 4
+    if forest and resolved_seam_stages(cfg) and not extra_pairs:
+        # Physics quality (θ<2) REQUIRES the adjacency seam stages — flush
+        # error at the forest cut would break the <1e-3 budget (the
+        # resolved_seam_stages docstring). A caller that didn't thread
+        # adjacency_stages through ``extra_pairs`` (DistributedWorld and
+        # the dryrun do; a direct bh_distributed_accel call may not) falls
+        # back to the exact ring sweep rather than silently degrading.
+        forest = False
     covered_np = None
     if forest and extra_pairs:
         covered_np = np.zeros((n_dev, n_dev), bool)

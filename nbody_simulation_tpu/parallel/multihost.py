@@ -148,3 +148,33 @@ def process_allgather_counts(n_local: int) -> np.ndarray:
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(
         np.array([n_local], np.int64))).ravel()
+
+
+def chunk_bounds(n: int, pid: int, nproc: int) -> tuple[int, int]:
+    """Row range [lo, hi) of process ``pid``'s equal chunk of ``n`` rows.
+
+    THE multi-host row-split convention — scenario chunking
+    (models/scenarios.scenario_chunk) and sharded-checkpoint reassembly
+    (utils/checkpoint.load_sharded_checkpoint) must agree on it, so both
+    import this single definition.
+    """
+    base, rem = divmod(n, nproc)
+    lo = pid * base + min(pid, rem)
+    return lo, lo + base + (1 if pid < rem else 0)
+
+
+def local_block(arr) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """This process's rows of a sharded array, in device-major order.
+
+    Returns ``(block, spans)`` where ``spans`` are the global [start, stop)
+    row ranges of the concatenated addressable shards. THE convention for
+    per-process readback — sharded recording (utils/recording.py) and
+    sharded checkpoints (utils/checkpoint.py) both reassemble global rows
+    from it.
+    """
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    spans = [(int(s.index[0].start or 0),
+              int(s.index[0].stop if s.index[0].stop is not None
+                  else arr.shape[0])) for s in shards]
+    return np.concatenate([np.asarray(s.data) for s in shards]), spans

@@ -56,8 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="steps between live total-energy prints (0 = off): "
                         "E = KE + U under the conservative counterpart law "
                         "(ops/energy.py; the reference's own law is non-"
-                        "conservative) plus |dE/E0| drift since start — an "
-                        "O(N²/2) pair sweep per sample, so pick a cadence")
+                        "conservative) plus |dE/E0| drift since start")
+    p.add_argument("--energy-method", choices=("exact", "bh"),
+                   default="exact",
+                   help="exact: O(N²/2) pair sweep per sample; bh: O(N·C) "
+                        "θ-consistent BH-planned approximation "
+                        "(ops/energy.bh_total_energy) for large N")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="serve a live browser viewer on this port "
@@ -118,7 +122,8 @@ def main(argv=None) -> int:
     if args.energy_every:
         from nbody_simulation_tpu.utils.telemetry import EnergyMeter
         on_batch = EnergyMeter(args.energy_every, emit=emit,
-                               softening2=cfg.softening2)
+                               softening2=cfg.softening2,
+                               method=args.energy_method)
     engine = Engine(world, include_particles=bool(args.record),
                     snapshot_interval=args.snapshot_interval,
                     steps_per_snapshot=args.steps_per_snapshot,

@@ -202,6 +202,16 @@ def main(argv=None) -> int:
         out.mkdir(parents=True, exist_ok=True)
 
     viewer = None
+    if args.serve and nproc > 1:
+        # The viewer's controls (pause, θ/dt/render_size) would reach only
+        # process 0's engine while the other processes keep issuing the
+        # original step collectives — a guaranteed mesh desync/hang. The
+        # interactive viewer is a single-process feature (any device
+        # count); multi-process runs are driven by flags + recordings.
+        raise SystemExit(
+            "--serve is single-process only: viewer controls cannot be "
+            "broadcast across processes (they would desynchronize the "
+            "mesh collectives). Drop --serve, or run single-process.")
     if args.serve and pid == 0:
         from nbody_simulation_tpu.viz import ViewerServer
         viewer = ViewerServer(engine, port=args.serve)

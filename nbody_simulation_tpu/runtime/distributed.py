@@ -123,6 +123,21 @@ class DistributedEngine(Engine):
                 "(utils.recording.ShardedRecorder via the on_batch hook, "
                 "or run_multihost --record DIR)")
         super().__init__(world, **kw)
+        import jax
+        self._multiprocess = jax.process_count() > 1
+
+    def _snapshot_due(self, now: float, paused: bool) -> bool:
+        # _render_snapshot is a cross-process collective (psum/pmax over
+        # the mesh): in a multi-process run EVERY process must reach the
+        # same decision, so the local/nondeterministic gates (queue
+        # fullness, wall clock) are unusable — render at every batch
+        # boundary unconditionally (the PUSH stays lossy per process,
+        # which is local and harmless). run_multihost drives this engine
+        # with snapshot_interval=0, so the single-process behavior at
+        # those settings is identical anyway.
+        if self._multiprocess:
+            return not paused
+        return super()._snapshot_due(now, paused)
 
     def _render_snapshot(self) -> bytes:
         w: DistributedWorld = self.world

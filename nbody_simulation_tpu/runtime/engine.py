@@ -197,6 +197,21 @@ class Engine:
         return Snapshot(self.world.updates, self.counting.copy(),
                         frame, pos).pack()
 
+    def _snapshot_due(self, now: float, paused: bool) -> bool:
+        """Whether the producer should render a snapshot this batch.
+
+        The default gate is LOCAL and nondeterministic (queue fullness +
+        wall clock) — exactly the reference's lossy try_send economics
+        (src/main.rs:136-139). Subclasses whose _render_snapshot is a
+        cross-process COLLECTIVE must override this with a deterministic
+        rule (DistributedEngine does), or processes diverge on whether to
+        enter the collective and the mesh hangs.
+        """
+        interval = (max(self.snapshot_interval, 0.1) if paused
+                    else self.snapshot_interval)
+        return (not self.queue.is_full()
+                and now - self._last_snap_t >= interval)
+
     def _physics_loop(self, max_steps: int | None) -> None:
         try:
             while not self._stop.is_set():
@@ -212,9 +227,7 @@ class Engine:
                 if self._paused.is_set() and not self._step_once.is_set():
                     # Paused: keep serving the current frame, burn no steps.
                     now = time.monotonic()
-                    if (not self.queue.is_full()
-                            and now - self._last_snap_t >= max(
-                                self.snapshot_interval, 0.1)):
+                    if self._snapshot_due(now, paused=True):
                         self.queue.try_push(self._render_snapshot())
                         self._last_snap_t = now
                     self._stop.wait(0.05)
@@ -235,8 +248,7 @@ class Engine:
                 if self.on_batch is not None:
                     self.on_batch(self.world)
                 now = time.monotonic()
-                if (not self.queue.is_full()
-                        and now - self._last_snap_t >= self.snapshot_interval):
+                if self._snapshot_due(now, paused=False):
                     self.queue.try_push(self._render_snapshot())
                     self._last_snap_t = now
         except BaseException as e:  # surfaced via .error / stop()
@@ -267,15 +279,20 @@ class Engine:
 
     # -- consumer -------------------------------------------------------------
     def next_snapshot(self, timeout: float | None = None) -> Snapshot | None:
+        deadline = None if timeout is None else time.monotonic() + timeout
         while True:
             q = self.queue
-            data = q.pop(timeout)
+            left = (None if deadline is None
+                    else max(0.0, deadline - time.monotonic()))
+            data = q.pop(left)
             if data is not None:
                 return Snapshot.unpack(data)
-            if q is self.queue:
+            if q is self.queue or (deadline is not None
+                                   and time.monotonic() >= deadline):
                 return None  # genuine timeout / closed-and-drained
             # The queue was swapped (live render_size reconfigure) while we
-            # waited and the retired one closed — retry on the new queue.
+            # waited and the retired one closed — retry on the new queue
+            # with the REMAINING time (not a fresh full timeout).
 
     def join(self, timeout: float | None = None) -> None:
         """Wait for the physics loop to finish (only with max_steps set)."""

@@ -75,19 +75,15 @@ def save_sharded_checkpoint(path: str | os.PathLike, state: ParticleState,
     """
     import jax
 
+    from nbody_simulation_tpu.parallel.multihost import local_block
+
     path = Path(path)
     pid = jax.process_index()
     nproc = jax.process_count()
     path.mkdir(parents=True, exist_ok=True)
-    def gather_local(arr):
-        # device-major order within the process
-        shards = sorted(arr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards])
-
-    pos = gather_local(state.pos)
-    vel = gather_local(state.vel)
-    mass = gather_local(state.mass)
+    pos, _ = local_block(state.pos)
+    vel, _ = local_block(state.vel)
+    mass, _ = local_block(state.mass)
     live = mass > 0
     n_live = int(live.sum())
     tmp = path / f"shard_{pid:05d}.npz.tmp"
@@ -96,7 +92,9 @@ def save_sharded_checkpoint(path: str | os.PathLike, state: ParticleState,
                             pos=pos[live], vel=vel[live], mass=mass[live])
     os.replace(tmp, path / f"shard_{pid:05d}.npz")
 
-    counts = _allgather_counts(n_live)  # doubles as the completion barrier
+    from nbody_simulation_tpu.parallel.multihost import (
+        process_allgather_counts)
+    counts = process_allgather_counts(n_live)  # doubles as completion barrier
     if pid == 0:
         man = {"version": SHARDED_FORMAT_VERSION, "step": int(step),
                "n_processes": nproc,
@@ -105,15 +103,6 @@ def save_sharded_checkpoint(path: str | os.PathLike, state: ParticleState,
         tmpm = path / "manifest.json.tmp"
         tmpm.write_text(json.dumps(man))
         os.replace(tmpm, path / "manifest.json")
-
-
-def _allgather_counts(n_local: int) -> np.ndarray:
-    import jax
-    if jax.process_count() == 1:
-        return np.array([n_local], np.int64)
-    from jax.experimental import multihost_utils
-    return np.asarray(multihost_utils.process_allgather(
-        np.array([n_local], np.int64))).ravel()
 
 
 def load_sharded_checkpoint(path: str | os.PathLike, mesh, config,
@@ -135,13 +124,13 @@ def load_sharded_checkpoint(path: str | os.PathLike, mesh, config,
     if man["version"] != SHARDED_FORMAT_VERSION:
         raise ValueError(f"unsupported sharded checkpoint version "
                          f"{man['version']}")
+    from nbody_simulation_tpu.parallel.multihost import chunk_bounds
+
     counts = np.asarray(man["counts"], np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     n = int(offsets[-1])
     pid, nproc = jax.process_index(), jax.process_count()
-    base, rem = divmod(n, nproc)
-    lo = pid * base + min(pid, rem)
-    hi = lo + base + (1 if pid < rem else 0)
+    lo, hi = chunk_bounds(n, pid, nproc)
     pos, vel, mass = [], [], []
     for i in range(len(counts)):
         flo, fhi = int(offsets[i]), int(offsets[i + 1])

@@ -142,12 +142,10 @@ class ShardedRecorder:
         self._manifest_done = False
 
     def _local_block(self, arr) -> tuple[np.ndarray, list[tuple[int, int]]]:
-        shards = sorted(arr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        spans = [(int(s.index[0].start or 0),
-                  int(s.index[0].stop if s.index[0].stop is not None
-                      else arr.shape[0])) for s in shards]
-        return np.concatenate([np.asarray(s.data) for s in shards]), spans
+        # THE per-process readback convention, shared with sharded
+        # checkpoints (parallel/multihost.local_block).
+        from nbody_simulation_tpu.parallel.multihost import local_block
+        return local_block(arr)
 
     def _write_manifest(self, state, spans) -> None:
         import jax

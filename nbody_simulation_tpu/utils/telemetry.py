@@ -92,10 +92,13 @@ class EnergyMeter:
     ``self.samples`` as (step, energy) for programmatic use.
     """
 
-    def __init__(self, every: int, emit=print, softening2: float = 1e-3):
+    def __init__(self, every: int, emit=print, softening2: float = 1e-3,
+                 method: str = "exact"):
+        assert method in ("exact", "bh"), method
         self.every = max(1, every)
         self.emit = emit
         self.softening2 = softening2
+        self.method = method
         self.e0: float | None = None
         self.samples: list[tuple[int, float]] = []
         self._last = None
@@ -106,11 +109,17 @@ class EnergyMeter:
             return
         self._last = step
         if getattr(world, "mesh", None) is not None:
+            # Sharded exact ring sweep ("bh" is single-chip only: the
+            # distributed force path has no single planned-columns view).
             from nbody_simulation_tpu.parallel.sharded_step import (
                 sharded_total_energy)
             e = float(sharded_total_energy(
                 world.state, world.mesh,
                 softening2=self.softening2)["total_energy"])
+        elif self.method == "bh":
+            # O(N·C) θ-consistent approximation — the large-N cadence mode.
+            from nbody_simulation_tpu.ops.energy import bh_total_energy
+            e = float(bh_total_energy(world.state, world.config))
         else:
             from nbody_simulation_tpu.ops.energy import total_energy
             e = float(total_energy(world.state, softening2=self.softening2))

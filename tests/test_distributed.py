@@ -361,3 +361,18 @@ def test_adjacency_stages_structure():
         for dev in set(devs):
             assert devs.count(dev) == 2
     assert not resolved_seam_stages(SimConfig(force_path="bh", theta=50.0))
+
+def test_quality_forest_without_seam_stages_falls_back_to_ring():
+    """A direct θ<2 call that did NOT thread adjacency seam stages through
+    ``extra_pairs`` must NOT get the coarse forest (flush error at the cut
+    breaks the <1e-3 budget) — it falls back to the exact ring sweep."""
+    mesh = make_1d_mesh(8)
+    cfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False,
+                    frontier_cap=128, leaf_cap=256, plan_leaves=1)
+    assert cfg.resolved_far_mode() == "forest"
+    st = uniform_disc(8192, seed=9)
+    ds = distribute_state(st, mesh, cfg)
+    got = np.asarray(bh_distributed_accel(ds.pos, ds.mass, mesh, config=cfg))
+    ring = np.asarray(bh_distributed_accel(
+        ds.pos, ds.mass, mesh, config=cfg.replace(far_mode="ring")))
+    np.testing.assert_array_equal(got, ring)

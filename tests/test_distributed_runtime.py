@@ -254,3 +254,21 @@ def test_multihost_cli_sharded_checkpoint(tmp_path):
                         timeout=600)
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert "len: 1024" in r2.stdout and "done: 1 steps" in r2.stdout
+
+def test_multiprocess_snapshot_gate_is_deterministic():
+    """In a multi-process run _render_snapshot is a mesh collective, so the
+    snapshot decision must not depend on per-process state (queue fullness,
+    wall clock). With _multiprocess forced, the gate is a pure function of
+    the batch boundary."""
+    w = make_world()
+    eng = DistributedEngine(w, steps_per_snapshot=4)
+    assert eng._multiprocess is False      # single-process here
+    eng._multiprocess = True
+    # Fill the queue; the deterministic gate must STILL say render.
+    assert eng._snapshot_due(0.0, paused=False) is True
+    assert eng._snapshot_due(1e9, paused=False) is True
+    assert eng._snapshot_due(0.0, paused=True) is False
+    eng._multiprocess = False
+    eng._last_snap_t = 0.0
+    eng.snapshot_interval = 1e9
+    assert eng._snapshot_due(1.0, paused=False) is False  # local gate back

@@ -97,3 +97,33 @@ def test_bh_energy_drift_tracks_direct():
         e[path] = (float(total_energy(w.state)) - e0) / abs(e0)
     # Drifts must agree to well under their own magnitude scale.
     assert abs(e["bh"] - e["direct"]) < max(1e-3, 0.5 * abs(e["direct"])), e
+
+def test_potential_pads_nondivisible_n():
+    """N not divisible by the source tile (engine states are padded to a
+    256 multiple only) must work and equal a divisible evaluation — the
+    --energy-every crash class (internal zero-mass padding is inert)."""
+    st = uniform_disc(600, seed=7).pad_to(256)   # 768: not a 512-multiple
+    assert st.n % 512 != 0
+    u = float(potential_energy(st.pos, st.mass))
+    want = numpy_potential(st.pos, st.mass)
+    np.testing.assert_allclose(u, want, rtol=1e-5)
+    phi = allpairs_potential(st.pos, st.mass)
+    assert phi.shape == (st.n,)
+
+
+def test_bh_total_energy_exact_and_quality():
+    """bh_total_energy: exact-class at θ=0 with caps ≥ level widths (every
+    source is a real leaf particle), <1e-3 at physics-quality θ=0.5."""
+    from nbody_simulation_tpu.ops.energy import bh_total_energy
+
+    st = uniform_disc(2048, seed=8)
+    want = float(total_energy(st))
+    exact_cfg = SimConfig(force_path="bh", theta=0.0, frontier_cap=64,
+                          leaf_cap=64, plan_leaves=1,
+                          unweighted_leaf_com=False)
+    got = float(bh_total_energy(st, exact_cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    q_cfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False)
+    got_q = float(bh_total_energy(st, q_cfg))
+    assert abs(got_q - want) / abs(want) < 1e-3, (got_q, want)

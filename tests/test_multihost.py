@@ -173,3 +173,25 @@ def test_scenario_chunks_partition_exactly():
     heavy = np.concatenate([np.asarray(c.mass)[np.asarray(c.mass) > 1] for c in chunks])
     np.testing.assert_array_equal(np.sort(heavy),
                                   np.sort(np.asarray(g.mass)[np.asarray(g.mass) > 1]))
+
+def test_galaxy_exact_chunks_bitwise_invariant():
+    """exact=True must honor its contract for the GALAXY too: the union of
+    chunks is bitwise equal to the single-process scenario for every
+    process count (it previously fell through to the streaming per-seed
+    galaxy_chunk, silently breaking --exact-chunks parity runs)."""
+    from nbody_simulation_tpu.models.scenarios import galaxy, scenario_chunk
+
+    full = galaxy(seed=0, n_random=500)
+    for nproc in (2, 3):
+        parts = [scenario_chunk("galaxy", i, nproc, seed=0, exact=True,
+                                n_random=500)
+                 for i in range(nproc)]
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(p.pos) for p in parts]),
+            np.asarray(full.pos))
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(p.vel) for p in parts]),
+            np.asarray(full.vel))
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(p.mass) for p in parts]),
+            np.asarray(full.mass))
