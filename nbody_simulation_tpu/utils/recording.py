@@ -55,15 +55,16 @@ class Recorder:
         self.comp_bytes = 0
 
     def maybe_record(self, pos: np.ndarray, step: int) -> bool:
-        """Record a delta frame if step % every == 0 (src/main.rs:125)."""
+        """Record a delta frame if step % every == 0 (src/main.rs:125).
+
+        The FIRST call writes the positions as an absolute frame (delta
+        from zeros), so the recording is self-contained: ``playback`` needs
+        no separate initial state."""
         pos = np.asarray(pos, np.float32)
-        if self._prev is None:
-            self._prev = pos.copy()
-            return False
-        if step % self.every != 0:
-            return False
-        self.record(pos, step)
-        return True
+        if self._prev is None or step % self.every == 0:
+            self.record(pos, step)
+            return True
+        return False
 
     def record(self, pos: np.ndarray, step: int) -> None:
         """Unconditionally write one delta frame (cadence handled by the
@@ -86,9 +87,15 @@ class Recorder:
         self._f.close()
 
 
-def playback(path: str | Path, initial_pos: np.ndarray):
-    """Yields (step, positions) reconstructed from a recording."""
-    pos = np.asarray(initial_pos, np.float32).copy()
+def playback(path: str | Path, initial_pos: np.ndarray | None = None):
+    """Yields (step, positions) reconstructed from a recording.
+
+    ``initial_pos=None`` treats the stream as self-contained (first frame
+    absolute — what ``maybe_record``/``ShardedRecorder`` write); pass the
+    baseline positions only for streams built with raw ``record`` calls
+    against an external initial state."""
+    pos = (None if initial_pos is None
+           else np.asarray(initial_pos, np.float32).copy())
     with open(path, "rb") as f:
         while True:
             hdr = f.read(_FRAME_HDR.size)
@@ -96,8 +103,9 @@ def playback(path: str | Path, initial_pos: np.ndarray):
                 return
             step, raw_len, comp_len = _FRAME_HDR.unpack(hdr)
             delta = np.frombuffer(_decompress(f.read(comp_len)),
-                                  np.float32).reshape(pos.shape)
-            pos = pos + delta
+                                  np.float32).reshape(
+                                      (-1, 2) if pos is None else pos.shape)
+            pos = delta if pos is None else pos + delta
             yield step, pos.copy()
 
 

@@ -208,6 +208,17 @@ def test_sharded_recording_roundtrip(tmp_path):
         # units) at world scale 1e5.
         np.testing.assert_allclose(got[step], want, atol=0.1)
 
+    # Offline renderer consumes the sharded directory directly.
+    from nbody_simulation_tpu.render_recording import main as render_main
+    out = tmp_path / "frames"
+    assert render_main([str(tmp_path / "rec"), "--out", str(out),
+                        "--render-size", "64", "--quiet"]) == 0
+    pngs = sorted(out.glob("frame_*.png"))
+    assert len(pngs) == 3
+    from PIL import Image
+    arr = np.asarray(Image.open(pngs[-1]))
+    assert arr.shape == (64, 64, 4) and arr[..., 3].max() > 0
+
 
 def test_sharded_recording_engine_and_catchup(tmp_path):
     """ShardedRecorder through the Engine on_batch hook: batch boundaries

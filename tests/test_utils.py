@@ -29,18 +29,23 @@ def test_recording_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     pos = rng.uniform(0, 1e5, (500, 2)).astype(np.float32)
     rec = Recorder(tmp_path / "rec.bin", every=10)
-    rec.maybe_record(pos, 0)  # primes prev
     history = {}
+    rec.maybe_record(pos, 0)  # first frame is ABSOLUTE → self-contained
+    history[0] = pos.copy()
     cur = pos
     for step in range(1, 31):
         cur = cur + rng.normal(0, 0.1, cur.shape).astype(np.float32)
         if rec.maybe_record(cur, step):
             history[step] = cur.copy()
     rec.close()
-    assert rec.frames == 3  # steps 10, 20, 30
+    assert rec.frames == 4  # steps 0, 10, 20, 30
     assert rec.comp_bytes < rec.raw_bytes
-    for step, rpos in playback(tmp_path / "rec.bin", pos):
+    # Self-contained playback: no initial state needed.
+    steps_seen = []
+    for step, rpos in playback(tmp_path / "rec.bin"):
+        steps_seen.append(step)
         np.testing.assert_allclose(rpos, history[step], atol=1e-4)
+    assert steps_seen == [0, 10, 20, 30]
 
 
 def test_png_roundtrip(tmp_path):
@@ -100,3 +105,34 @@ def test_cli_gif_output(tmp_path):
     assert r.returncode == 0, r.stderr[-1500:]
     assert gif.exists()
     assert gif.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
+
+def test_render_recording_cli(tmp_path):
+    """run.py --record → render_recording renders self-contained PNGs;
+    --state restores masses for the heavy-green rule."""
+    import os
+
+    out = tmp_path / "frames"
+    ck = tmp_path / "ck.npz"
+    rec = tmp_path / "rec.bin"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cwd = str(Path(__file__).parent.parent)
+    r = subprocess.run(
+        [sys.executable, "-m", "nbody_simulation_tpu.run",
+         "--scenario", "uniform", "--n", "256", "--steps", "5",
+         "--platform", "cpu", "--force-path", "direct",
+         "--render-size", "64", "--checkpoint", str(ck),
+         "--record", str(rec)],
+        capture_output=True, text=True, timeout=300, env=env, cwd=cwd)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "nbody_simulation_tpu.render_recording",
+         str(rec), "--out", str(out), "--render-size", "64",
+         "--state", str(ck)],
+        capture_output=True, text=True, timeout=300, env=env, cwd=cwd)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    pngs = sorted(out.glob("frame_*.png"))
+    assert pngs, r2.stdout
+    from PIL import Image
+    arr = np.asarray(Image.open(pngs[-1]))
+    assert arr.shape == (64, 64, 4) and arr[..., 3].max() > 0
