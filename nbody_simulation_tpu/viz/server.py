@@ -256,7 +256,7 @@ class ViewerServer:
     def stats(self) -> dict:
         with self._lock:
             s = self.latest
-            return {
+            out = {
                 "step": 0 if s is None else s.step,
                 "fps": round(self._fps, 2),
                 "ups": round(self._ups, 2),
@@ -270,6 +270,17 @@ class ViewerServer:
                     "post_calculations": s.counting.post_calculations,
                 },
             }
+            # Live energy telemetry, if an EnergyMeter rides on_batch
+            # (run.py --energy-every): latest sample + drift.
+            meter = getattr(self.engine, "on_batch", None)
+            samples = getattr(meter, "samples", None)
+            if samples:
+                step, e = samples[-1]
+                e0 = meter.e0
+                out["energy"] = {
+                    "step": step, "total": e,
+                    "drift": abs(e - e0) / max(abs(e0), 1e-30)}
+            return out
 
     def stop(self) -> None:
         self._stopped.set()

@@ -11,9 +11,12 @@ from nbody_simulation_tpu.viz import ViewerServer
 
 
 def test_viewer_serves_frames_and_stats():
+    from nbody_simulation_tpu.utils.telemetry import EnergyMeter
+
     cfg = SimConfig(force_path="direct", render_size=64)
     world = World(uniform_disc(256, seed=1), cfg)
-    engine = Engine(world, snapshot_interval=0.0)
+    engine = Engine(world, snapshot_interval=0.0,
+                    on_batch=EnergyMeter(10, emit=lambda *_: None))
     viewer = ViewerServer(engine, port=0)  # ephemeral port
     viewer.start()
     engine.start(max_steps=30)
@@ -29,6 +32,9 @@ def test_viewer_serves_frames_and_stats():
             break
         time.sleep(0.05)
     assert stats["step"] > 0, stats
+    # Live energy telemetry surfaces once the EnergyMeter has sampled.
+    assert "energy" in stats, stats
+    assert stats["energy"]["drift"] >= 0.0
 
     png = urllib.request.urlopen(f"{base}/frame.png", timeout=10).read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
