@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=Path, default=None,
                    help="resume from a checkpoint")
     p.add_argument("--record", type=Path, default=None,
-                   help="zstd position-delta recording file")
+                   help="zstd position-delta recording file (self-"
+                        "contained; render offline with python -m "
+                        "nbody_simulation_tpu.render_recording)")
     p.add_argument("--gif", type=Path, default=None,
                    help="assemble kept snapshots into an animated GIF "
                         "(composited over black like the reference window)")
