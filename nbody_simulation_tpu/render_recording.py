@@ -35,8 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--world-size", type=float, default=100_000.0)
     p.add_argument("--state", type=Path, default=None,
                    help="checkpoint (.npz) from the same run: restores "
-                        "masses (heavy-green rule). Row count must cover "
-                        "the recording's rows.")
+                        "masses (heavy-green rule) by ROW. Single-chip "
+                        "recordings only (sharded rows are the padded "
+                        "device layout; a checkpoint is compact — no row "
+                        "mapping exists). Row mapping is exact for runs "
+                        "that never Morton-resort (direct force path) or "
+                        "for frames after the last resort; earlier BH "
+                        "frames may green-tint the wrong particles.")
     p.add_argument("--every", type=int, default=1,
                    help="render every K-th recorded frame")
     p.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
@@ -60,12 +65,18 @@ def main(argv=None) -> int:
                                                       playback_sharded)
 
     emit = (lambda *a, **k: None) if args.quiet else print
-    frames = (playback_sharded(args.recording)
-              if (args.recording / "manifest.json").exists()
+    sharded = (args.recording / "manifest.json").exists()
+    frames = (playback_sharded(args.recording) if sharded
               else playback(args.recording))
 
     mass = None
     if args.state is not None:
+        if sharded:
+            raise SystemExit(
+                "--state cannot be row-mapped onto a sharded recording: "
+                "its rows are the padded device-major layout, a "
+                "checkpoint's are compact live rows. Render without "
+                "--state (unit masses).")
         from nbody_simulation_tpu.utils.checkpoint import load_checkpoint
         st, _ = load_checkpoint(args.state)
         mass = np.asarray(st.mass)
@@ -79,8 +90,11 @@ def main(argv=None) -> int:
         if mass is not None and mass.shape[0] >= n:
             m = mass[:n]
         elif mass is not None:
-            m = np.concatenate([mass, np.zeros(n - mass.shape[0],
-                                               np.float32)])
+            # Unit-fill (NOT zero-fill): rows beyond the checkpoint still
+            # hold recorded particles — zero mass would silently erase
+            # them from the frame.
+            m = np.concatenate([mass, np.ones(n - mass.shape[0],
+                                              np.float32)])
         else:
             m = np.ones(n, np.float32)
         frame = np.asarray(render_frame(

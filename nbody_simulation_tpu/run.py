@@ -133,7 +133,7 @@ def main(argv=None) -> int:
 
     if args.serve:
         from nbody_simulation_tpu.viz import ViewerServer
-        viewer = ViewerServer(engine, port=args.serve)
+        viewer = ViewerServer(engine, port=args.serve, energy_meter=on_batch)
         viewer.start()
         emit(f"viewer: http://127.0.0.1:{viewer.port}/")
         engine.start(max_steps=start_step + args.steps if args.steps else None)

@@ -119,6 +119,17 @@ def main(argv=None) -> int:
     from nbody_simulation_tpu.utils.telemetry import RateMeter
 
     pid, nproc = jax.process_index(), jax.process_count()
+    if args.serve and nproc > 1:
+        # Refuse BEFORE any O(N) generation / compiles / recorder files:
+        # the viewer's controls (pause, θ/dt/render_size) would reach only
+        # process 0's engine while the other processes keep issuing the
+        # original step collectives — a guaranteed mesh desync/hang. The
+        # interactive viewer is a single-process feature (any device
+        # count); multi-process runs are driven by flags + recordings.
+        raise SystemExit(
+            "--serve is single-process only: viewer controls cannot be "
+            "broadcast across processes (they would desynchronize the "
+            "mesh collectives). Drop --serve, or run single-process.")
     emit = print if (pid == 0 and not args.quiet) else (lambda *a, **k: None)
     emit(f"processes: {nproc}, devices: {len(jax.devices())} "
          f"({len(jax.local_devices())} local)")
@@ -179,14 +190,16 @@ def main(argv=None) -> int:
         from nbody_simulation_tpu.utils.recording import ShardedRecorder
         recorder = ShardedRecorder(args.record, every=args.record_every)
     callbacks = []
+    meter_cb = None
     if recorder is not None:
         callbacks.append(lambda w: recorder.maybe_record(w.state, w.updates))
     if args.energy_every:
         # Collective: every process joins the psum'd sweep; only process 0
         # prints (emit is a no-op elsewhere).
         from nbody_simulation_tpu.utils.telemetry import EnergyMeter
-        callbacks.append(EnergyMeter(args.energy_every, emit=emit,
-                                     softening2=cfg.softening2))
+        meter_cb = EnergyMeter(args.energy_every, emit=emit,
+                               softening2=cfg.softening2)
+        callbacks.append(meter_cb)
     engine = DistributedEngine(
         world, snapshot_interval=0.0,
         steps_per_snapshot=max(1, args.snapshot_every or 10),
@@ -202,19 +215,9 @@ def main(argv=None) -> int:
         out.mkdir(parents=True, exist_ok=True)
 
     viewer = None
-    if args.serve and nproc > 1:
-        # The viewer's controls (pause, θ/dt/render_size) would reach only
-        # process 0's engine while the other processes keep issuing the
-        # original step collectives — a guaranteed mesh desync/hang. The
-        # interactive viewer is a single-process feature (any device
-        # count); multi-process runs are driven by flags + recordings.
-        raise SystemExit(
-            "--serve is single-process only: viewer controls cannot be "
-            "broadcast across processes (they would desynchronize the "
-            "mesh collectives). Drop --serve, or run single-process.")
     if args.serve and pid == 0:
         from nbody_simulation_tpu.viz import ViewerServer
-        viewer = ViewerServer(engine, port=args.serve)
+        viewer = ViewerServer(engine, port=args.serve, energy_meter=meter_cb)
         viewer.start()
         emit(f"viewer: http://127.0.0.1:{viewer.port}/")
 

@@ -39,6 +39,11 @@ except ImportError:  # pragma: no cover
     CODEC = "zlib"
 
 _FRAME_HDR = struct.Struct("<QII")  # step, raw_len, comp_len
+# File magic + version. v1 semantics: the first frame is ABSOLUTE (delta
+# from zeros) so the stream is self-contained. Headerless files are the
+# pre-v1 legacy format whose first frame was a delta from an EXTERNAL
+# initial state — playback requires initial_pos for those.
+_REC_MAGIC = b"NBREC\x00\x00\x01"
 
 
 class Recorder:
@@ -50,6 +55,7 @@ class Recorder:
         self.level = level
         self._prev: np.ndarray | None = None
         self._f = open(self.path, "wb")
+        self._f.write(_REC_MAGIC)
         self.frames = 0
         self.raw_bytes = 0
         self.comp_bytes = 0
@@ -90,13 +96,22 @@ class Recorder:
 def playback(path: str | Path, initial_pos: np.ndarray | None = None):
     """Yields (step, positions) reconstructed from a recording.
 
-    ``initial_pos=None`` treats the stream as self-contained (first frame
-    absolute — what ``maybe_record``/``ShardedRecorder`` write); pass the
-    baseline positions only for streams built with raw ``record`` calls
-    against an external initial state."""
+    v1 streams (``NBREC`` magic) are self-contained — the first frame is
+    absolute and ``initial_pos`` is not needed. Headerless legacy streams
+    REQUIRE ``initial_pos`` (their first frame is a delta from the run's
+    initial state); passing None for one raises instead of silently
+    decoding garbage."""
     pos = (None if initial_pos is None
            else np.asarray(initial_pos, np.float32).copy())
     with open(path, "rb") as f:
+        head = f.read(len(_REC_MAGIC))
+        if head != _REC_MAGIC:
+            if pos is None:
+                raise ValueError(
+                    f"{path}: headerless (legacy) recording — its first "
+                    "frame is a delta from an external initial state; "
+                    "pass initial_pos")
+            f.seek(0)
         while True:
             hdr = f.read(_FRAME_HDR.size)
             if not hdr:

@@ -82,8 +82,13 @@ _PAGE = b"""<!doctype html>
 class ViewerServer:
     """Serves the engine's latest snapshot over HTTP."""
 
-    def __init__(self, engine: Engine, port: int = 8000, host: str = "127.0.0.1"):
+    def __init__(self, engine: Engine, port: int = 8000,
+                 host: str = "127.0.0.1", energy_meter=None):
         self.engine = engine
+        # Explicit handoff beats introspecting engine.on_batch: the hook is
+        # often a composite lambda (run_multihost wraps callbacks), which
+        # would hide the meter from /stats.
+        self.energy_meter = energy_meter
         self.latest: Snapshot | None = None
         self._png: bytes = b""
         self._frame_seq = 0
@@ -270,9 +275,11 @@ class ViewerServer:
                     "post_calculations": s.counting.post_calculations,
                 },
             }
-            # Live energy telemetry, if an EnergyMeter rides on_batch
-            # (run.py --energy-every): latest sample + drift.
-            meter = getattr(self.engine, "on_batch", None)
+            # Live energy telemetry, if an EnergyMeter was handed over
+            # (--energy-every): latest sample + drift. Falls back to a
+            # bare meter sitting directly on the hook.
+            meter = self.energy_meter or getattr(self.engine, "on_batch",
+                                                 None)
             samples = getattr(meter, "samples", None)
             if samples:
                 step, e = samples[-1]

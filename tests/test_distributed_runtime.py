@@ -275,10 +275,15 @@ def test_multiprocess_snapshot_gate_is_deterministic():
     eng = DistributedEngine(w, steps_per_snapshot=4)
     assert eng._multiprocess is False      # single-process here
     eng._multiprocess = True
-    # Fill the queue; the deterministic gate must STILL say render.
+    # ACTUALLY fill the queue: the deterministic gate must say render even
+    # when the local lossy gate (queue fullness) would say skip.
+    while not eng.queue.is_full():
+        eng.queue.try_push(b"x" * 16)
     assert eng._snapshot_due(0.0, paused=False) is True
     assert eng._snapshot_due(1e9, paused=False) is True
     assert eng._snapshot_due(0.0, paused=True) is False
+    while eng.queue.pop(0.0) is not None:  # drain for the local-gate check
+        pass
     eng._multiprocess = False
     eng._last_snap_t = 0.0
     eng.snapshot_interval = 1e9

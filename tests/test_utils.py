@@ -136,3 +136,53 @@ def test_render_recording_cli(tmp_path):
     from PIL import Image
     arr = np.asarray(Image.open(pngs[-1]))
     assert arr.shape == (64, 64, 4) and arr[..., 3].max() > 0
+
+def test_playback_legacy_headerless_requires_initial(tmp_path):
+    """Headerless (pre-v1) streams must refuse self-contained playback
+    instead of decoding the first delta as absolute garbage; with the
+    external initial state they still replay exactly."""
+    import pytest
+    from nbody_simulation_tpu.utils.recording import _REC_MAGIC
+
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(0, 1e5, (64, 2)).astype(np.float32)
+    rec = Recorder(tmp_path / "v1.bin", every=1)
+    rec.maybe_record(pos, 0)
+    pos2 = pos + 1.0
+    rec.maybe_record(pos2, 1)
+    rec.close()
+    data = (tmp_path / "v1.bin").read_bytes()
+    assert data.startswith(_REC_MAGIC)
+    # Strip the magic + the absolute first frame to fabricate a legacy
+    # stream (first frame = delta from an external initial state).
+    import struct
+    hdr = struct.Struct("<QII")
+    off = len(_REC_MAGIC)
+    _, _, comp_len = hdr.unpack(data[off:off + hdr.size])
+    legacy = data[off + hdr.size + comp_len:]
+    (tmp_path / "legacy.bin").write_bytes(legacy)
+    with pytest.raises(ValueError, match="legacy"):
+        next(playback(tmp_path / "legacy.bin"))
+    step, got = next(playback(tmp_path / "legacy.bin", pos))
+    assert step == 1
+    np.testing.assert_allclose(got, pos2, atol=1e-4)
+
+
+def test_render_recording_refuses_state_for_sharded(tmp_path):
+    """--state rows cannot be mapped onto a sharded recording's padded
+    device layout — the renderer must refuse, not mis-tint silently."""
+    import json
+
+    import pytest
+    from nbody_simulation_tpu.render_recording import main as render_main
+
+    recdir = tmp_path / "rec"
+    recdir.mkdir()
+    (recdir / "manifest.json").write_text(json.dumps(
+        {"version": 1, "every": 1, "n_processes": 1, "n_rows": 4,
+         "spans": [[[0, 4]]]}))
+    ck = tmp_path / "ck.npz"
+    save_checkpoint(ck, uniform_disc(4, seed=0), step=0)
+    with pytest.raises(SystemExit, match="sharded"):
+        render_main([str(recdir), "--out", str(tmp_path / "f"),
+                     "--state", str(ck), "--quiet"])
