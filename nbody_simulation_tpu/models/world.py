@@ -168,6 +168,23 @@ class World:
             self.state = self._step(self.state)
             self.updates += 1  # per-step: the BH path branches on it
 
+    def diagnostics(self) -> dict:
+        """Conserved-quantity diagnostics — the single-chip counterpart of
+        ``parallel.sharded_diagnostics`` (same keys), so both CLIs report
+        mass/momentum/KE with one code shape. Zero-mass padding is inert
+        in every sum."""
+        import jax.numpy as jnp
+        pos, vel, mass = self.state.pos, self.state.vel, self.state.mass
+        m = mass[:, None]
+        mtot = jnp.sum(mass)
+        return {
+            "momentum": jnp.sum(vel * m, axis=0),
+            "kinetic_energy": jnp.sum(0.5 * mass * jnp.sum(vel ** 2, -1)),
+            "total_mass": mtot,
+            "center_of_mass": jnp.sum(pos * m, axis=0) / mtot,
+            "n_live": jnp.sum((mass > 0).astype(jnp.int32)),
+        }
+
     # -- failure detection ------------------------------------------------------
     def assert_finite(self) -> None:
         """Divergence guard (SURVEY.md §5: the reference's only fault masking

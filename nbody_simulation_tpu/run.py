@@ -202,8 +202,11 @@ def main(argv=None) -> int:
         save_checkpoint(args.checkpoint, world.state.real_slice(),
                         world.updates)
         emit(f"checkpoint: {args.checkpoint} @ step {world.updates}")
+    d = world.diagnostics()
     emit(f"done: {world.updates - start_step} steps, "
-         f"{kept} snapshots kept, {engine.dropped} dropped")
+         f"{kept} snapshots kept, {engine.dropped} dropped, "
+         f"mass {float(d['total_mass']):.1f}, "
+         f"ke {float(d['kinetic_energy']):.6e}")
     return 0
 
 

@@ -125,3 +125,24 @@ def test_direct_arbitrary_n():
     w = World(uniform_disc(1100, seed=0), SimConfig(force_path="direct"))
     w.run(2)
     assert np.isfinite(np.asarray(w.state.pos)).all()
+
+def test_world_diagnostics_parity_keys_and_conservation():
+    """World.diagnostics() mirrors parallel.sharded_diagnostics' keys;
+    mass is exactly conserved across steps and padding is inert."""
+    import numpy as np
+
+    from nbody_simulation_tpu.config import SimConfig
+    from nbody_simulation_tpu.models.scenarios import uniform_disc
+    from nbody_simulation_tpu.models.world import World
+
+    w = World(uniform_disc(300, seed=2).pad_to(256),
+              SimConfig(force_path="direct", dt=0.01))
+    d0 = w.diagnostics()
+    assert set(d0) == {"momentum", "kinetic_energy", "total_mass",
+                       "center_of_mass", "n_live"}
+    assert int(np.asarray(d0["n_live"])) == 300
+    w.run(5)
+    d1 = w.diagnostics()
+    np.testing.assert_allclose(float(d1["total_mass"]),
+                               float(d0["total_mass"]), rtol=0)
+    assert np.isfinite(np.asarray(d1["momentum"])).all()
