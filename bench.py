@@ -15,14 +15,44 @@ import time
 
 import numpy as np
 
-# The axon TPU tunnel has transient outages ("Unable to initialize backend
-# 'axon': UNAVAILABLE", observed round 3). JAX caches a failed backend init
-# for the process lifetime, so retry by re-exec'ing, not by looping.
+# The axon TPU tunnel has multi-hour outages in BOTH failure modes
+# (observed round 3): jax.devices() raising "Unable to initialize backend
+# 'axon': UNAVAILABLE", and jax.devices() HANGING at init. JAX caches a
+# failed backend init for the process lifetime, so the raise mode retries
+# by re-exec'ing; the hang mode is detected FIRST with a killable
+# subprocess probe (a client stuck at *init* is safe to kill — unlike one
+# mid-compile, which would wedge the serial tunnel queue).
 _MAX_RETRIES = 20
 _RETRY_WAIT_S = 30
+_PROBE_ATTEMPTS = 240           # × (timeout+wait) ≈ up to ~12 h of outage
+_PROBE_TIMEOUT_S = 180          # healthy init over the tunnel is ~20-40 s
+_PROBE_WAIT_S = 60
+
+
+def _wait_for_backend() -> None:
+    """Block until a throwaway subprocess can complete jax.devices()."""
+    import subprocess
+    for k in range(_PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run([sys.executable, "-c",
+                                "import jax; jax.devices()"],
+                               timeout=_PROBE_TIMEOUT_S,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+            msg = (r.stderr or b"").decode(errors="replace").strip()
+            msg = msg.splitlines()[-1] if msg else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            msg = f"init hang (> {_PROBE_TIMEOUT_S}s)"
+        print(f"bench: backend probe failed "
+              f"({k + 1}/{_PROBE_ATTEMPTS}): {msg}",
+              file=sys.stderr, flush=True)
+        time.sleep(_PROBE_WAIT_S)
+    # Fall through: let the real import surface the failure.
 
 
 def _backend_or_retry() -> None:
+    _wait_for_backend()
     import jax
     try:
         jax.devices()
