@@ -25,6 +25,15 @@ import time
 
 import numpy as np
 
+# Optional SimConfig.rcp override for every BH config (--rcp flag):
+# lets guard/reciprocal experiments ("approx+clamp", ...) run the exact
+# suite workloads without editing the configs.
+RCP: str | None = None
+
+
+def _rcp_kw():
+    return {"rcp": RCP} if RCP else {}
+
 
 def sync(x):
     import jax.numpy as jnp
@@ -39,7 +48,7 @@ def emit(config, metric, value, unit, **extra):
 def config0():
     from nbody_simulation_tpu.config import SimConfig
     from nbody_simulation_tpu.models import World, galaxy
-    w = World(galaxy(seed=0), SimConfig(force_path="bh"))
+    w = World(galaxy(seed=0), SimConfig(force_path="bh", **_rcp_kw()))
     w.run(17); sync(w.state)   # ≥ resort_every+1: warm BOTH step variants
     t0 = time.perf_counter(); w.run(64); sync(w.state)
     dt = (time.perf_counter() - t0) / 64
@@ -50,7 +59,7 @@ def config6():
     from nbody_simulation_tpu.config import SimConfig
     from nbody_simulation_tpu.models import World, uniform_disc
     n = 1_048_576
-    w = World(uniform_disc(n, seed=0), SimConfig(force_path="bh"))
+    w = World(uniform_disc(n, seed=0), SimConfig(force_path="bh", **_rcp_kw()))
     w.run(17); sync(w.state)   # ≥ resort_every+1: warm BOTH step variants
     t0 = time.perf_counter(); w.run(32); sync(w.state)
     dt = (time.perf_counter() - t0) / 32
@@ -114,7 +123,7 @@ def config3():
     from nbody_simulation_tpu.config import SimConfig
     from nbody_simulation_tpu.models import World, uniform_disc
     w = World(uniform_disc(262_144, seed=0),
-              SimConfig(force_path="bh", resort_every=1))
+              SimConfig(force_path="bh", resort_every=1, **_rcp_kw()))
     w.run(5); sync(w.state)
     t0 = time.perf_counter(); w.run(50); sync(w.state)
     dt = (time.perf_counter() - t0) / 50
@@ -173,7 +182,7 @@ def config5():
 
     P, N = 16, 16_777_216
     L = N // P
-    cfg = SimConfig(force_path="bh")   # flagship regime: θ=50
+    cfg = SimConfig(force_path="bh", **_rcp_kw())   # flagship regime: θ=50
     mesh = make_1d_mesh(1)
     st = distribute_state(uniform_disc(L, seed=0), mesh, cfg)
     mp = cfg.resolved_multipole()
@@ -239,18 +248,38 @@ def config5():
         return (time.perf_counter() - t0) / 16
 
     # ---- collective payload accounting (REAL sizes, not assumptions) ----
-    # Per step the real P-chip program moves over ICI, per device:
-    #   · 2 neighbor subtree blocks IN + 2 OUT (the ppermute ring stages
-    #     ship the full FlatTree: leaf tiles + level summaries), and
-    #   · the coarse-forest all_gather (P × top-level records).
+    # Per step the real P-chip program moves over ICI, per device (the
+    # compute-to-data near protocol of parallel/bh_distributed.py): for
+    # each of the 2 neighbor stages the device RECEIVES the visiting
+    # subtree's levels 0..cut (the bounded walk needs no leaf data), a
+    # seam-row continuation request from the opposite neighbor (targets +
+    # row AABBs + frontier), and its own seam rows' result accelerations;
+    # plus the coarse-forest all_gather (P × top-level records). With
+    # near_refine_levels=0 the stages fall back to shipping whole subtree
+    # blocks (2 × tree_bytes — the round-2 protocol).
+    from nbody_simulation_tpu.parallel.bh_distributed import _near_geometry
     tree0 = summarize_sorted(st.pos, st.mass, leaf_size=cfg.leaf_size,
                              unweighted_leaf_com=cfg.unweighted_leaf_com)
     tree_bytes = sum(x.size * x.dtype.itemsize
                      for x in jax.tree_util.tree_leaves(tree0))
+    n_leaves0, S0, _ = tree0.leaf_pos.shape
+    ncaps0 = (fcap, max(lcap, 4 * NEAR_ROW_LEAVES))
+    k0n, cutn, refine0 = _near_geometry(cfg, ncaps0, tree0.depth)
+    if refine0 and cfg.near_remote:
+        top_bytes = sum(x.size * x.dtype.itemsize for x in
+                        jax.tree_util.tree_leaves(list(tree0.levels[:cutn + 1])))
+        g_n = n_leaves0 // NEAR_ROW_LEAVES
+        r = min(g_n, cfg.near_rows or max(64, g_n // 16))
+        row = NEAR_ROW_LEAVES * S0
+        req_bytes = r * (row * 2 * 4 + 2 * 2 * 4 + ncaps0[0] * (4 + 1))
+        res_bytes = r * row * 2 * 4
+        near_bytes = top_bytes + req_bytes + res_bytes
+    else:
+        near_bytes = tree_bytes
     forest_bytes = P * sum(
         (1 << l) * 8 * 4 for l in range(min(cfg.forest_levels,
                                             tree0.depth + 1)))
-    payload = 2 * tree_bytes + forest_bytes           # inbound per device
+    payload = 2 * near_bytes + forest_bytes           # inbound per device
     # v5e ICI: ~45 GB/s per direction per link (conservative public
     # figure); a 1-D ring uses one link each way, so serialized (zero
     # overlap) transfer time is payload / 45e9 (out rides the other
@@ -323,7 +352,12 @@ def config5():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="0,1,2,3,4,5,6")
+    ap.add_argument("--rcp", default=None,
+                    help="SimConfig.rcp override for the BH configs "
+                         "(e.g. approx+clamp)")
     args = ap.parse_args()
+    global RCP
+    RCP = args.rcp
     fns = {0: config0, 1: config1, 2: config2, 3: config3,
            4: config4, 5: config5, 6: config6}
     for c in [int(x) for x in args.configs.split(",")]:

@@ -63,8 +63,11 @@ class SimConfig:
     unweighted_leaf_com: bool = True
 
     # Pallas all-pairs tile sizes (i = sublane/rows, j = lane/cols) and
-    # reciprocal mode ("exact" | "newton" | "approx"); (512, 2048, newton)
-    # measured fastest-accurate on v5e. rcp=None resolves per path: "newton"
+    # reciprocal mode ("exact" | "newton" | "approx", each optionally with
+    # a "+clamp" suffix replacing the is_normal mask by a 1-op L1 clamp —
+    # bitwise-identical on finite world-scale states, see
+    # ops/allpairs.mono_tile); (512, 2048, newton) measured
+    # fastest-accurate on v5e. rcp=None resolves per path: "newton"
     # for the exact force paths (≤6e-6 relative deviation), and for BH by θ:
     # "approx" in the reference's θ≥2 regime (the walk's own approximation
     # error is orders of magnitude above the ≤6e-4 reciprocal noise; saves
@@ -205,6 +208,17 @@ class SimConfig:
         if self.near_refine_levels is not None:
             return self.near_refine_levels
         return 1 if self.theta >= 2.0 else 0
+
+    # Compute-to-data near stages (refined mode only): ship a visiting
+    # subtree's levels 0..cut (the bounded walk needs no leaf data) and
+    # send the unresolved seam rows' targets BACK to the subtree's owner,
+    # which runs the full-depth continuation against its local tree and
+    # returns just the row accelerations — bitwise-identical arithmetic
+    # (tests/test_distributed.py asserts it), but the per-stage ICI
+    # payload drops from the whole subtree block (≈13 MB at a 1M shard)
+    # to levels + seam targets + results (≈1 MB). False ships whole
+    # subtree blocks (the round-2 protocol).
+    near_remote: bool = True
 
     # Heavy-particle render threshold: weight > 10 draws solid green
     # (src/main.rs:55-59).

@@ -38,6 +38,16 @@ from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL, pair_accel
 # Rough VPU op count per pairwise interaction (incl. the fp32 divide).
 FLOPS_PER_PAIR = 22
 
+# L1-norm clamp floor for the "+clamp" guard modes. Any two distinct f32
+# world-scale coordinates (|x| ≳ 1e-6) differ by ≥ one ulp ≈ 6e-14·|x|,
+# so a physically-representable pair separation is either exactly 0 or
+# ≥ ~1e-19; 1e-12 sits far above that while keeping the clamped
+# denominator ≥ 1e-12·softening2 = 1e-15, whose reciprocal (1e15) times
+# the largest reference mass (7.5e7) stays finite in f32.
+L1_CLAMP = 1e-12
+
+RCP_MODES = ("exact", "newton", "approx", "newton+clamp", "approx+clamp")
+
 
 def mono_tile(dx, dy, mj, softening2: float, rcp: str):
     """Monopole force contributions (cx, cy) for displacement tiles.
@@ -45,23 +55,47 @@ def mono_tile(dx, dy, mj, softening2: float, rcp: str):
     The exact reference law (src/main.rs:234-253) on a (TI,TJ) tile; shared
     by the all-pairs kernel and the Barnes-Hut grouped sweep
     (ops/traversal.py).
+
+    ``rcp`` selects the reciprocal ("exact" | "newton" | "approx") and,
+    with a "+clamp" suffix, how the reference's is_normal guard
+    (src/main.rs:240-243) is expressed:
+
+    - default ("mask"): two compares + a select zero the masked lanes —
+      self-pairs, subnormal separations, and inf/NaN all contribute 0,
+      exactly like the reference's silent skip;
+    - "+clamp": ``max(s, L1_CLAMP)`` replaces the 4-op mask with one VPU op.
+      Bitwise-identical output for every representable input whose pair
+      separations are exactly 0 (self/coincident pairs: dx·w = 0·finite = 0)
+      or ≥ L1_CLAMP (the clamp is the identity there) — i.e. all finite
+      world-scale states. The differences: a separation in (0, 1e-12)
+      (unreachable for f32 coordinates above ~1e-6 magnitude) yields a
+      clamped-weaker force instead of the skip, and non-finite positions
+      PROPAGATE as NaN instead of being silently frozen — opt-in via
+      SimConfig(rcp=...) or bench, where inputs are finite by construction.
     """
     if rcp == "exact":
         return pair_accel(dx, dy, mj, softening2)
-    # Same law, but the division is an approximate VPU reciprocal,
-    # optionally sharpened by one Newton step r*(2 - den*r) (~1 ulp).
-    # The is_normal guard is two compares: s <= FLT_MAX is false for
-    # both inf and NaN, so this matches jnp.isfinite exactly; masked
-    # lanes may carry inf/NaN through the reciprocal — the final where
-    # kills them (cheaper than sanitizing the denominator first).
+    base, _, guard = rcp.partition("+")
     s = jnp.abs(dx) + jnp.abs(dy)
-    normal = (s >= FLT_MIN_NORMAL) & (s <= jnp.float32(3.4028235e38))
     d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
-    den = s * d2
-    r = pl.reciprocal(den, approx=True)
-    if rcp == "newton":
-        r = r * (jnp.float32(2.0) - den * r)
-    r = jnp.where(normal, r, jnp.float32(0.0))
+    if guard == "clamp":
+        den = jnp.maximum(s, jnp.float32(L1_CLAMP)) * d2
+        r = pl.reciprocal(den, approx=True)
+        if base == "newton":
+            r = r * (jnp.float32(2.0) - den * r)
+    else:
+        # Same law, but the division is an approximate VPU reciprocal,
+        # optionally sharpened by one Newton step r*(2 - den*r) (~1 ulp).
+        # The is_normal guard is two compares: s <= FLT_MAX is false for
+        # both inf and NaN, so this matches jnp.isfinite exactly; masked
+        # lanes may carry inf/NaN through the reciprocal — the final where
+        # kills them (cheaper than sanitizing the denominator first).
+        normal = (s >= FLT_MIN_NORMAL) & (s <= jnp.float32(3.4028235e38))
+        den = s * d2
+        r = pl.reciprocal(den, approx=True)
+        if base == "newton":
+            r = r * (jnp.float32(2.0) - den * r)
+        r = jnp.where(normal, r, jnp.float32(0.0))
     w = mj * r
     return dx * w, dy * w
 
@@ -101,6 +135,9 @@ def allpairs_accel(pos: jax.Array, mass: jax.Array,
       - "newton" (default): VPU approximate reciprocal + one Newton step —
         measured ≤6e-6 relative deviation from exact, ~1.5x faster
       - "approx": raw approximate reciprocal (≤6e-4 deviation, fastest)
+      - "newton+clamp" / "approx+clamp": same reciprocal, with the
+        is_normal mask replaced by a 1-op L1 clamp (see mono_tile) —
+        bitwise-identical for finite world-scale inputs, fastest guard
     """
     if src_pos is None:
         src_pos = pos
@@ -113,8 +150,8 @@ def allpairs_accel(pos: jax.Array, mass: jax.Array,
     if ni % tile_i or nj % tile_j:
         raise ValueError(
             f"N=({ni},{nj}) not divisible by tiles ({tile_i},{tile_j})")
-    if rcp not in ("exact", "newton", "approx"):
-        raise ValueError(f"rcp must be exact|newton|approx, got {rcp!r}")
+    if rcp not in RCP_MODES:
+        raise ValueError(f"rcp must be one of {RCP_MODES}, got {rcp!r}")
     if interpret or jax.default_backend() == "cpu":
         interpret = True  # Mosaic only targets TPU; CPU runs interpreted
         rcp = "exact"     # pl.reciprocal(approx) has no interpreter lowering

@@ -148,7 +148,14 @@ def _quad_tile(dx, dy, mj, qxx, qxy, qyy, softening2: float, rcp: str):
     Hessian of the reference kernel f(d) = d/(‖d‖₁·‖d‖₂²) in closed form
     (validated against jax.hessian in tests/test_traversal.py). Leaf-particle
     sources have Q = 0, so the correction vanishes for exact interactions.
+
+    A "+clamp" rcp suffix (ops/allpairs.mono_tile) is ignored here: the
+    quadrupole correction terms (e.g. gx·qxx) carry no dx/dy factor, so a
+    coincident source COM would contribute a huge finite garbage force
+    under the clamp instead of the reference's silent skip — the masked
+    select is load-bearing in this kernel, not just a guard.
     """
+    rcp = rcp.partition("+")[0]
     adx = jnp.abs(dx)
     ady = jnp.abs(dy)
     s = adx + ady

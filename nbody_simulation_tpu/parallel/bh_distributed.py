@@ -41,6 +41,7 @@ distributed backend (SURVEY.md §2, parallelism table).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -327,34 +328,45 @@ def _gather_forest(tree: FlatTree, axis: str, n_dev: int,
                     leaf_mass=jnp.zeros((w, 1), jnp.float32))
 
 
-def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
-                mp: int, rcp: str, interpret: bool, caps=None):
-    """One full-quality visiting-subtree stage, with optional row
-    refinement: a cheap ``near_refine_levels``-deep bounded walk runs for
-    ALL rows, then a full-depth continuation for only the ``near_rows``
-    closest rows whose frontier is still open (the Morton-seam rows; most
-    rows accept a neighbor subtree within a few levels). Unresolved rows
-    beyond the cap flush to COM — distance-ranked, so only the farthest
-    unresolved rows (where COM is benign) ever degrade. Pure per-device
-    compute (no collectives), so the suite's single-chip proxy times this
-    exact function. ``caps``: (frontier, leaf) override — the caller may
-    run near stages at a coarser row granularity than the local walk, with
-    leaf caps scaled to the row size.
+class SeamRows(NamedTuple):
+    """Minimal 'own' rows for a seeded continuation walk — plan_rows reads
+    only the row AABBs (ops/traversal.py), so a seam-row request ships two
+    (r, 2) arrays instead of a full Level."""
+    aabb_min: jax.Array
+    aabb_max: jax.Array
+
+
+def _near_geometry(cfg: SimConfig, caps, depth: int):
+    """(k0, cut, refine?) of a near stage against a depth-``depth`` subtree.
+
+    k0 = the walk's seed level, cut = the bounded walk's flush level.
+    Computed from the FULL subtree depth — callers of the split stages
+    (bounded walk on shipped levels + owner-side continuation) must pass
+    these explicitly, since the requester only holds levels 0..cut.
     """
-    fcap, lcap = caps if caps is not None else cfg.resolved_caps()
-
-    def sweep(acc, planned):
-        return acc + _grouped_force(
-            tgt, *planned[:3], softening2=cfg.softening2, rcp=rcp,
-            interpret=interpret, src_q=planned[3:] if mp == 2 else None)
-
-    depth = visiting.depth
+    fcap = caps[0]
     k0 = min(max(fcap.bit_length() - 1, 0), depth - 1)
     ma = cfg.resolved_near_refine()
     cut = min(depth - 1, k0 + ma) if ma else depth
-    if not ma or cut <= k0:
-        return sweep(acc, plan_rows(visiting, own, cfg.theta, fcap, lcap,
-                                    cfg.tree_arity, multipole=mp))
+    return k0, cut, bool(ma) and cut > k0
+
+
+def _near_bounded(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
+                  mp: int, rcp: str, interpret: bool, caps, k0: int,
+                  cut: int):
+    """The bounded (``near_refine_levels``-deep) part of a near stage: a
+    cheap walk for ALL rows over the visiting subtree's levels 0..cut
+    (never leaf data — plan_rows runs with lcap=0), a flush-to-COM sweep
+    for every unresolved row beyond the ``near_rows`` cap, and the seam-row
+    selection. Unresolved rows are distance-ranked, so only the farthest
+    (where COM is benign) ever degrade.
+
+    Returns ``(acc, ids, request)`` where ``request = (tgt_rows, own_min,
+    own_max, frontier, valid)`` is everything the full-depth continuation
+    needs — small enough to ship to the subtree's owner (_near_deep_serve)
+    instead of shipping the subtree's leaf tiles here.
+    """
+    fcap, _ = caps
     cols, frontier, valid = plan_rows(
         visiting, own, cfg.theta, fcap, 0, cfg.tree_arity,
         multipole=mp, max_levels=cut - k0, return_frontier=True)
@@ -380,15 +392,64 @@ def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
         z = jnp.zeros_like(rec[..., 6])
         for k in range(3, 6):
             cols[k] = jnp.concatenate([cols[k], z], 1)
-    acc = sweep(acc, tuple(cols))
-    own_deep = Level(*[x[ids] for x in own])
+    acc = acc + _grouped_force(
+        tgt, *cols[:3], softening2=cfg.softening2, rcp=rcp,
+        interpret=interpret, src_q=tuple(cols[3:]) if mp == 2 else None)
+    # valid travels as int8: the request crosses the ICI (ppermute), and
+    # pred-typed collectives are the one dtype no other exchange in this
+    # repo exercises — int8 is the safe wire format.
+    request = (tgt[ids], own.aabb_min[ids], own.aabb_max[ids],
+               frontier[ids], valid[ids].astype(jnp.int8))
+    return acc, ids, request
+
+
+def _near_deep_serve(tree: FlatTree, request, cfg: SimConfig, mp: int,
+                     rcp: str, interpret: bool, caps, cut: int):
+    """Full-depth continuation of a bounded near walk, run against ``tree``
+    — which is the subtree the request's frontier indices refer to: the
+    requester's ``visiting`` in the same-device case, or the LOCAL tree on
+    the owning device in the compute-to-data exchange (identical arrays,
+    so the arithmetic is bitwise the same wherever it runs)."""
+    fcap, lcap = caps
+    tgt_rows, own_min, own_max, frontier, valid = request
     deep_cols = plan_rows(
-        visiting, own_deep, cfg.theta, fcap, lcap, cfg.tree_arity,
-        multipole=mp, seed=(cut, frontier[ids], valid[ids]))
-    acc_deep = _grouped_force(
-        tgt[ids], *deep_cols[:3], softening2=cfg.softening2,
+        tree, SeamRows(own_min, own_max), cfg.theta, fcap, lcap,
+        cfg.tree_arity, multipole=mp,
+        seed=(cut, frontier, valid != 0))
+    return _grouped_force(
+        tgt_rows, *deep_cols[:3], softening2=cfg.softening2,
         rcp=rcp, interpret=interpret,
         src_q=deep_cols[3:] if mp == 2 else None)
+
+
+def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
+                mp: int, rcp: str, interpret: bool, caps=None):
+    """One full-quality visiting-subtree stage, with optional row
+    refinement: a cheap ``near_refine_levels``-deep bounded walk runs for
+    ALL rows (_near_bounded), then a full-depth continuation for only the
+    ``near_rows`` closest rows whose frontier is still open (the
+    Morton-seam rows; most rows accept a neighbor subtree within a few
+    levels) — _near_deep_serve. Pure per-device compute (no collectives),
+    so the suite's single-chip proxy times this exact function; the
+    distributed step splits the same two pieces across the ICI instead
+    (bounded walk at the targets, continuation at the data — see
+    bh_distributed_accel). ``caps``: (frontier, leaf) override — the
+    caller may run near stages at a coarser row granularity than the local
+    walk, with leaf caps scaled to the row size.
+    """
+    caps = caps if caps is not None else cfg.resolved_caps()
+    fcap, lcap = caps
+    k0, cut, refine = _near_geometry(cfg, caps, visiting.depth)
+    if not refine:
+        planned = plan_rows(visiting, own, cfg.theta, fcap, lcap,
+                            cfg.tree_arity, multipole=mp)
+        return acc + _grouped_force(
+            tgt, *planned[:3], softening2=cfg.softening2, rcp=rcp,
+            interpret=interpret, src_q=planned[3:] if mp == 2 else None)
+    acc, ids, request = _near_bounded(acc, visiting, own, tgt, cfg, mp,
+                                      rcp, interpret, caps, k0, cut)
+    acc_deep = _near_deep_serve(visiting, request, cfg, mp, rcp,
+                                interpret, caps, cut)
     return acc.at[ids].add(acc_deep)
 
 
@@ -473,17 +534,53 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
             tgt_n = tree.leaf_pos.reshape(n_leaves // pln, pln * S, 2)
             ncaps = (fcap, max(lcap, 4 * pln))
             stage_perms = [perm, back] + [list(m) for m in extra_pairs]
-            for sperm in stage_perms:
-                # Devices outside a seam matching receive all-zero records
-                # from the ppermute: zero mass ⇒ zero emitted force, zero
-                # count ⇒ nothing opened — the stage is a cheap no-op for
-                # them (SPMD would have them idle regardless).
-                visiting = jax.tree.map(
-                    lambda x: jax.lax.ppermute(x, axis, sperm), tree)
-                acc_n = _near_stage(
-                    jnp.zeros(tgt_n.shape, jnp.float32), visiting, own_n,
-                    tgt_n, cfg, mp, rcp, interpret, caps=ncaps)
-                acc = acc + acc_n.reshape(acc.shape)
+            k0n, cutn, refine = _near_geometry(cfg, ncaps, tree.depth)
+            if refine and cfg.near_remote:
+                # Compute-to-data near stages: the bounded walk needs only
+                # the subtree's levels 0..cut (plan_rows lcap=0 — no leaf
+                # data), so ship THOSE (KBs) instead of the whole subtree
+                # block (≈ the shard's own size). The unresolved seam rows'
+                # targets travel BACK to the subtree's owner, which runs
+                # the full-depth continuation against its LOCAL tree
+                # (bitwise-identical arithmetic — same arrays, same seeded
+                # walk) and returns just the row accelerations. Per-stage
+                # ICI payload: full subtree ≈13 MB → levels + seam targets
+                # + results ≈1 MB at a 1M shard.
+                top = FlatTree(
+                    levels=list(tree.levels[:cutn + 1]),
+                    leaf_pos=jnp.zeros((1, S, 2), jnp.float32),
+                    leaf_mass=jnp.zeros((1, S), jnp.float32))
+                for sperm in stage_perms:
+                    # Devices outside a seam matching receive all-zero
+                    # levels from the ppermute: zero count ⇒ nothing
+                    # opened, zero mass ⇒ zero emitted force — the stage
+                    # is a cheap no-op for them (SPMD would have them
+                    # idle regardless).
+                    inv = [(d, s) for (s, d) in sperm]
+                    vis_top = jax.tree.map(
+                        lambda x: jax.lax.ppermute(x, axis, sperm), top)
+                    acc_n, ids, req = _near_bounded(
+                        jnp.zeros(tgt_n.shape, jnp.float32), vis_top,
+                        own_n, tgt_n, cfg, mp, rcp, interpret, ncaps,
+                        k0n, cutn)
+                    req = jax.tree.map(
+                        lambda x: jax.lax.ppermute(x, axis, inv), req)
+                    served = _near_deep_serve(tree, req, cfg, mp, rcp,
+                                              interpret, ncaps, cutn)
+                    acc_back = jax.lax.ppermute(served, axis, sperm)
+                    acc_n = acc_n.at[ids].add(acc_back)
+                    acc = acc + acc_n.reshape(acc.shape)
+            else:
+                for sperm in stage_perms:
+                    # near_refine_levels=0: the full-depth walk needs the
+                    # visiting subtree's leaf tiles here — ship the whole
+                    # block (the round-2 protocol).
+                    visiting = jax.tree.map(
+                        lambda x: jax.lax.ppermute(x, axis, sperm), tree)
+                    acc_n = _near_stage(
+                        jnp.zeros(tgt_n.shape, jnp.float32), visiting,
+                        own_n, tgt_n, cfg, mp, rcp, interpret, caps=ncaps)
+                    acc = acc + acc_n.reshape(acc.shape)
             ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels,
                                    covered_np=covered_np)
             ff = max(16, 1 << max(0, (n_dev - 1).bit_length()))

@@ -46,3 +46,46 @@ def test_indivisible_n_raises(rng):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_clamp_rcp_modes_accepted(rng):
+    # Plumbing: the "+clamp" guard modes flow through allpairs_accel (on
+    # CPU the kernel runs interpreted with rcp forced to "exact", so this
+    # checks acceptance + unchanged results, not the TPU fast path).
+    pos, mass = cloud(rng, 256)
+    want = np.asarray(allpairs_accel(pos, mass, tile_i=64, tile_j=256,
+                                     interpret=True))
+    got = np.asarray(allpairs_accel(pos, mass, tile_i=64, tile_j=256,
+                                    interpret=True, rcp="approx+clamp"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_clamp_guard_identity():
+    # The mask→clamp rewrite (ops/allpairs.mono_tile, "+clamp" modes) is
+    # bitwise-identical whenever every pair separation is exactly 0 or has
+    # L1 norm ≥ L1_CLAMP. Emulate both guards with exact division (the VPU
+    # reciprocal is TPU-only) over the full reachable range, including the
+    # reference's heavy mass and coincident pairs.
+    from nbody_simulation_tpu.ops.allpairs import L1_CLAMP
+
+    dx = np.float32([0.0, 0.0, 1e-12, 7.8e-3, -7.8e-3, 1.0, -4.2e4, 9.9e4])
+    dy = np.float32([0.0, -0.0, 0.0, 0.0, 1e-9, -2.0, 3.3e3, -9.9e4])
+    mj = np.float32([75e6, 1.0, 99.0, 75e6, 1.0, 50.0, 99.0, 75e6])
+    soft = np.float32(1e-3)
+
+    s = np.abs(dx) + np.abs(dy)
+    d2 = np.maximum(dx * dx + dy * dy, soft)
+
+    # mask guard (reference is_normal semantics)
+    normal = np.isfinite(s) & (s >= 1.17549435e-38)
+    r_mask = np.where(normal, np.float32(1.0) / np.where(normal, s * d2, 1), 0)
+    cx_mask = dx * (mj * r_mask)
+
+    # clamp guard
+    r_clamp = np.float32(1.0) / (np.maximum(s, np.float32(L1_CLAMP)) * d2)
+    cx_clamp = dx * (mj * r_clamp)
+
+    assert np.isfinite(r_clamp).all()          # clamp never overflows
+    np.testing.assert_array_equal(cx_clamp, cx_mask)
+    # and the clamped weight stays f32-finite even at the largest mass
+    assert np.isfinite(mj * r_clamp).all()

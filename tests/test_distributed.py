@@ -376,3 +376,53 @@ def test_quality_forest_without_seam_stages_falls_back_to_ring():
     ring = np.asarray(bh_distributed_accel(
         ds.pos, ds.mass, mesh, config=cfg.replace(far_mode="ring")))
     np.testing.assert_array_equal(got, ring)
+
+
+def test_remote_near_stage_bitwise_vs_same_device():
+    """The compute-to-data near protocol (near_remote=True, default): ship
+    only the visiting subtree's levels 0..cut, run the seam rows'
+    full-depth continuation on the subtree's OWNER, ship the row
+    accelerations back. Identical arrays feed an identical seeded walk, so
+    the result must be BITWISE equal to the same-device protocol
+    (near_remote=False: whole subtree blocks ship, _near_stage runs both
+    pieces locally) — in the θ=50 flagship regime over ring neighbors, and
+    at physics-quality θ with adjacency seam stages."""
+    from nbody_simulation_tpu.parallel import adjacency_stages
+    from nbody_simulation_tpu.parallel.bh_distributed import (
+        NEAR_ROW_LEAVES, _near_geometry)
+
+    mesh = make_1d_mesh(8)
+
+    # θ=50: 4096 particles/device = 64 leaves -> subtree depth 6; with the
+    # resolved (16, 32) near caps that is cut=5 > k0=4, so the remote
+    # protocol is ACTIVE (guard the test against retunes re-shadowing it).
+    cfg = flagship_cfg()
+    fcap, lcap = cfg.resolved_caps()
+    ncaps = (fcap, max(lcap, 4 * NEAR_ROW_LEAVES))
+    k0, cut, refine = _near_geometry(cfg, ncaps, 6)
+    assert refine, (k0, cut)
+    ds = distribute_state(uniform_disc(8 * 4096, seed=20), mesh, cfg)
+    got = np.asarray(bh_distributed_accel(ds.pos, ds.mass, mesh, config=cfg))
+    want = np.asarray(bh_distributed_accel(
+        ds.pos, ds.mass, mesh, config=cfg.replace(near_remote=False)))
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got, want)
+
+    # θ=0.5 + seam stages (non-ring ppermute matchings) with an explicit
+    # refine depth and a small frontier so the remote path activates at
+    # this scale; the matchings' no-op devices (zero-level receives) must
+    # also round-trip to bitwise equality.
+    qcfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False,
+                     frontier_cap=16, leaf_cap=64, near_refine_levels=1)
+    k0q, cutq, refineq = _near_geometry(
+        qcfg, (16, max(64, 4 * qcfg.plan_leaves)), 6)
+    assert refineq, (k0q, cutq)
+    dq = distribute_state(uniform_disc(8 * 4096, seed=21), mesh, qcfg)
+    extra = adjacency_stages(dq, mesh, qcfg)
+    gq = np.asarray(bh_distributed_accel(dq.pos, dq.mass, mesh, config=qcfg,
+                                         extra_pairs=extra))
+    wq = np.asarray(bh_distributed_accel(
+        dq.pos, dq.mass, mesh, config=qcfg.replace(near_remote=False),
+        extra_pairs=extra))
+    assert np.isfinite(gq).all()
+    np.testing.assert_array_equal(gq, wq)
