@@ -85,11 +85,16 @@ def main() -> None:
         t0 = time.perf_counter()
         # float(...) forces a host readback — block_until_ready does not
         # synchronize under the axon tunnel.
-        # rcp="approx": raw VPU reciprocal — measured max deviation 6.5e-4
-        # from the Newton-refined kernel (p99 3.7e-5), inside BASELINE's
-        # <1e-3 force-error budget, and +11% pairs/s (2.46e11 → 2.72e11).
-        # Library default stays "newton" (≤6e-6) for physics-quality use.
-        _ = float(allpairs_accel(pos, mass, rcp="approx").sum())
+        # rcp="approx+clamp": raw VPU reciprocal (measured max deviation
+        # 6.5e-4 from the Newton-refined kernel, p99 3.7e-5 — inside
+        # BASELINE's <1e-3 force-error budget) with the is_normal mask
+        # replaced by the 1-op L1 clamp — BITWISE-identical to "approx" on
+        # finite inputs (tests/test_allpairs.py::test_clamp_guard_identity;
+        # verified again on this exact workload) and +8% pairs/s over it
+        # (2.83e11 vs 2.62e11 same-session, benchmarks/probe_rcp.py).
+        # Library default stays "newton" (≤6e-6, NaN-freeze guard) for
+        # physics-quality use.
+        _ = float(allpairs_accel(pos, mass, rcp="approx+clamp").sum())
         return time.perf_counter() - t0
 
     run()  # compile + warm
