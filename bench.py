@@ -85,15 +85,16 @@ def main() -> None:
         t0 = time.perf_counter()
         # float(...) forces a host readback — block_until_ready does not
         # synchronize under the axon tunnel.
-        # rcp="approx+clamp": raw VPU reciprocal (measured max deviation
-        # 6.5e-4 from the Newton-refined kernel, p99 3.7e-5 — inside
-        # BASELINE's <1e-3 force-error budget) with the is_normal mask
+        # rcp="approx+clamp": raw VPU reciprocal with the is_normal mask
         # replaced by the 1-op L1 clamp — BITWISE-identical to "approx" on
         # finite inputs (tests/test_allpairs.py::test_clamp_guard_identity;
         # verified again on this exact workload) and +8% pairs/s over it
         # (2.83e11 vs 2.62e11 same-session, benchmarks/probe_rcp.py).
-        # Library default stays "newton" (≤6e-6, NaN-freeze guard) for
-        # physics-quality use.
+        # Quality vs the f64-accumulated oracle at 4096 sampled targets of
+        # THIS workload (benchmarks/probe_rcp_error.py): relative error
+        # med 4.7e-6 / p99 3.8e-5 / max 2.1e-4 — inside BASELINE's <1e-3
+        # budget (newton: med 3.2e-7 / max 1.8e-5). Library default stays
+        # "newton" (NaN-freeze guard) for physics-quality use.
         _ = float(allpairs_accel(pos, mass, rcp="approx+clamp").sum())
         return time.perf_counter() - t0
 

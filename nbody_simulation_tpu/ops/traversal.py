@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbody_simulation_tpu.ops.allpairs import mono_tile
+from nbody_simulation_tpu.ops.allpairs import RCP_MODES, mono_tile
 from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL
 from nbody_simulation_tpu.ops.tree import BIG, FlatTree, build_tree
 
@@ -532,6 +532,12 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
     ``src_q``: optional (qxx, qxy, qyy) arrays of (G, C) — switches the
     sweep to the monopole+quadrupole kernel (_quad_kernel).
     """
+    # Validate BEFORE the interpret override: an unknown mode would
+    # otherwise silently run as "approx" on TPU (mono_tile's partition
+    # falls through) and as "exact" on CPU — misuse must fail loudly on
+    # both backends.
+    if rcp not in RCP_MODES:
+        raise ValueError(f"rcp must be one of {RCP_MODES}, got {rcp!r}")
     if interpret:
         rcp = "exact"  # pl.reciprocal(approx) has no interpreter lowering
     g, s, _ = tgt_pos.shape

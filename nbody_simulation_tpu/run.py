@@ -33,6 +33,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt", type=float, default=0.1)
     p.add_argument("--integrator", default="euler",
                    choices=["euler", "leapfrog"])
+    p.add_argument("--rcp", default=None,
+                   choices=["exact", "newton", "approx",
+                            "newton+clamp", "approx+clamp"],
+                   help="reciprocal/guard mode for the force kernels; "
+                        "default resolves from theta "
+                        "(SimConfig.resolved_rcp). '+clamp' trades the "
+                        "reference's NaN-freeze guard for ~3.5%% BH / "
+                        "8%% all-pairs speed — bitwise-identical forces "
+                        "on finite states")
     p.add_argument("--leaf-size", type=int, default=64)
     p.add_argument("--world-size", type=float, default=100_000.0)
     p.add_argument("--render-size", type=int, default=1250)
@@ -100,7 +109,8 @@ def main(argv=None) -> int:
     cfg = SimConfig(force_path=args.force_path, theta=args.theta, dt=args.dt,
                     leaf_size=args.leaf_size, world_size=args.world_size,
                     render_size=args.render_size, integrator=args.integrator,
-                    unweighted_leaf_com=not args.weighted_leaf_com)
+                    unweighted_leaf_com=not args.weighted_leaf_com,
+                    rcp=args.rcp)
 
     start_step = 0
     if args.resume:

@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--theta", type=float, default=50.0)
     p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--rcp", default=None,
+                   choices=["exact", "newton", "approx",
+                            "newton+clamp", "approx+clamp"],
+                   help="reciprocal/guard mode; default resolves from "
+                        "theta (SimConfig.resolved_rcp)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="steps between sharded renders (0 = none)")
@@ -134,7 +139,8 @@ def main(argv=None) -> int:
     emit(f"processes: {nproc}, devices: {len(jax.devices())} "
          f"({len(jax.local_devices())} local)")
 
-    cfg = SimConfig(force_path="bh", theta=args.theta, dt=args.dt)
+    cfg = SimConfig(force_path="bh", theta=args.theta, dt=args.dt,
+                    rcp=args.rcp)
     mesh = make_1d_mesh()
 
     start_step = 0

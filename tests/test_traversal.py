@@ -298,3 +298,17 @@ def test_compact_ranked_matches_sorted_compact():
     ov0 = np.sort(np.asarray(take(vals))[np.asarray(o0)])
     ov1 = np.sort(np.asarray(vals)[np.asarray(o1)])
     assert (ov0 == ov1).all()
+
+
+def test_unknown_rcp_fails_loudly():
+    # An unknown rcp mode must raise on BOTH backends — before this check
+    # (_grouped_force) a typo silently ran as "approx" on TPU (mono_tile's
+    # partition falls through) and as "exact" under interpret mode.
+    import pytest
+    from nbody_simulation_tpu.ops.traversal import bh_accel
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, 1e5, (256, 2)).astype(np.float32))
+    mass = jnp.asarray(rng.integers(1, 100, 256).astype(np.float32))
+    with pytest.raises(ValueError, match="rcp"):
+        bh_accel(pos, mass, theta=50.0, rcp="bogus")
