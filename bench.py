@@ -93,7 +93,7 @@ def main() -> None:
         # Quality vs the f64-accumulated oracle at 4096 sampled targets of
         # THIS workload (benchmarks/probe_rcp_error.py): relative error
         # med 4.7e-6 / p99 3.8e-5 / max 2.1e-4 — inside BASELINE's <1e-3
-        # budget (newton: med 3.2e-7 / max 1.8e-5). Library default stays
+        # budget (newton: med 3.2e-7 / max 1.7e-5). Library default stays
         # "newton" (NaN-freeze guard) for physics-quality use.
         _ = float(allpairs_accel(pos, mass, rcp="approx+clamp").sum())
         return time.perf_counter() - t0

@@ -50,18 +50,17 @@ if len(sys.argv) > 2:
                   for t in sys.argv[2].split(","))
 
 for rcp, (ti, tj) in itertools.product(MODES, TILES):
-    if True:
-        try:
-            dt = timeit(rcp=rcp, tile_i=ti, tile_j=tj)
-        except Exception as e:  # VMEM overflow at big tiles, etc.
-            print(f"rcp={rcp:13s} tiles=({ti:4d},{tj:4d})  FAILED: "
-                  f"{type(e).__name__}: {str(e).splitlines()[0][:100]}",
-                  flush=True)
-            continue
-        pairs = N * N / dt
-        out = np.asarray(allpairs_accel(pos, mass, rcp=rcp,
-                                        tile_i=ti, tile_j=tj))
-        dev = np.linalg.norm(out - ref, axis=1) / ref_norm
-        print(f"rcp={rcp:13s} tiles=({ti:4d},{tj:4d})  {dt*1e3:7.2f} ms  "
-              f"{pairs:.3e} pairs/s  dev vs newton: med {np.median(dev):.2e} "
-              f"max {dev.max():.2e}", flush=True)
+    try:
+        dt = timeit(rcp=rcp, tile_i=ti, tile_j=tj)
+    except Exception as e:  # VMEM overflow at big tiles, etc.
+        msg = (str(e).splitlines() or [""])[0][:100]
+        print(f"rcp={rcp:13s} tiles=({ti:4d},{tj:4d})  FAILED: "
+              f"{type(e).__name__}: {msg}", flush=True)
+        continue
+    pairs = N * N / dt
+    out = np.asarray(allpairs_accel(pos, mass, rcp=rcp,
+                                    tile_i=ti, tile_j=tj))
+    dev = np.linalg.norm(out - ref, axis=1) / ref_norm
+    print(f"rcp={rcp:13s} tiles=({ti:4d},{tj:4d})  {dt*1e3:7.2f} ms  "
+          f"{pairs:.3e} pairs/s  dev vs newton: med {np.median(dev):.2e} "
+          f"max {dev.max():.2e}", flush=True)

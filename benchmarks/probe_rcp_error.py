@@ -42,9 +42,13 @@ for k, i in enumerate(idx):
     normal = np.isfinite(s) & (s >= FLT_MIN_NORMAL)
     d2 = np.maximum(dx * dx + dy * dy, np.float32(1e-3))
     den = np.where(normal, s * d2, np.float32(1.0))
-    w = np.where(normal, mass / den, np.float32(0.0))
-    truth[k, 0] = (dx * w).astype(np.float64).sum()
-    truth[k, 1] = (dy * w).astype(np.float64).sum()
+    # Exact oracle op order — numerator FIRST, (dx*mass)/den — matching
+    # oracle.direct_accel_oracle / src/main.rs:245-252. (dx*(mass/den)
+    # is the kernel's own flattering order; ~1 ulp/pair different.)
+    ax = np.where(normal, (dx * mass) / den, np.float32(0.0))
+    ay = np.where(normal, (dy * mass) / den, np.float32(0.0))
+    truth[k, 0] = ax.astype(np.float64).sum()
+    truth[k, 1] = ay.astype(np.float64).sum()
 print(f"oracle: {time.perf_counter() - t0:.1f}s for {M} targets", flush=True)
 
 tnorm = np.linalg.norm(truth, axis=1)

@@ -21,6 +21,16 @@ from typing import Literal
 
 ForcePath = Literal["direct", "pallas", "bh", "ring"]
 
+# Canonical reciprocal/guard modes for the force kernels — the single
+# source of truth for kernel validation (ops/allpairs.py, ops/traversal.py)
+# and both CLI parsers (run.py, run_multihost.py). Lives here because this
+# module is jax-free: run_multihost must build its parser before
+# jax.distributed.initialize. "+clamp" swaps the reference's 4-op
+# is_normal NaN-freeze guard (src/main.rs:240-243) for a 1-op L1 clamp —
+# bitwise-identical on finite states. There is deliberately no
+# "exact+clamp": the exact-IEEE path keeps the reference guard.
+RCP_MODES = ("exact", "newton", "approx", "newton+clamp", "approx+clamp")
+
 
 @dataclasses.dataclass(frozen=True)
 class SimConfig:

@@ -46,7 +46,7 @@ FLOPS_PER_PAIR = 22
 # the largest reference mass (7.5e7) stays finite in f32.
 L1_CLAMP = 1e-12
 
-RCP_MODES = ("exact", "newton", "approx", "newton+clamp", "approx+clamp")
+from nbody_simulation_tpu.config import RCP_MODES  # canonical mode list
 
 
 def mono_tile(dx, dy, mj, softening2: float, rcp: str):

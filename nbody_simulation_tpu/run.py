@@ -15,6 +15,7 @@ import argparse
 import sys
 from pathlib import Path
 
+from nbody_simulation_tpu.config import RCP_MODES  # jax-free
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -33,9 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt", type=float, default=0.1)
     p.add_argument("--integrator", default="euler",
                    choices=["euler", "leapfrog"])
-    p.add_argument("--rcp", default=None,
-                   choices=["exact", "newton", "approx",
-                            "newton+clamp", "approx+clamp"],
+    p.add_argument("--rcp", default=None, choices=list(RCP_MODES),
                    help="reciprocal/guard mode for the force kernels; "
                         "default resolves from theta "
                         "(SimConfig.resolved_rcp). '+clamp' trades the "

@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+from nbody_simulation_tpu.config import RCP_MODES  # jax-free
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nbody_simulation_tpu.run_multihost")
@@ -38,9 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--theta", type=float, default=50.0)
     p.add_argument("--dt", type=float, default=0.1)
-    p.add_argument("--rcp", default=None,
-                   choices=["exact", "newton", "approx",
-                            "newton+clamp", "approx+clamp"],
+    p.add_argument("--rcp", default=None, choices=list(RCP_MODES),
                    help="reciprocal/guard mode; default resolves from "
                         "theta (SimConfig.resolved_rcp)")
     p.add_argument("--steps", type=int, default=100)
