@@ -347,10 +347,23 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
         """Expand one level: test fan·F candidate children, emit their COM
         source columns, compact the opened ones (closest first) into a
         width-``cap`` list. Returns (new_list, new_valid, cols)."""
-        cand = jnp.concatenate([frontier * fan + i for i in range(fan)],
-                               axis=1)                          # (G, fan*F)
-        cvalid = jnp.concatenate([valid] * fan, axis=1)
-        rec = packed_child[cand]                                # ONE gather
+        g_, fw = frontier.shape
+        w, ncols_ = packed_child.shape
+        # The fan children of frontier node k are the adjacent table rows
+        # fan·k .. fan·k+fan−1, so reshaping the child table to
+        # (W/fan, fan·ncols) and gathering by the PARENT index fetches all
+        # of them in ONE row. TPU gathers at these shapes are row-count
+        # bound, not byte bound (32 B rows move ~10 GB/s): fetching fan×
+        # fewer, fan×-wider rows measured the 9-level 1M-shape scan gather
+        # 3.46 → 2.29 ms. Candidates come out child-interleaved per parent
+        # (vs the old [all left | all right] blocks) — only an fp32
+        # source-summation-order change downstream.
+        rec = (packed_child.reshape(w // fan, fan * ncols_)[frontier]
+               .reshape(g_, fw * fan, ncols_))                  # ONE gather
+        cand = (frontier[:, :, None] * fan
+                + jnp.arange(fan, dtype=jnp.int32)).reshape(g_, fw * fan)
+        cvalid = jnp.broadcast_to(valid[:, :, None],
+                                  (g_, fw, fan)).reshape(g_, fw * fan)
         nmin = rec[..., 0:2]
         nmax = rec[..., 2:4]
         ncom = rec[..., 4:6]
@@ -443,25 +456,34 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
     last_scan = (depth - 1) if cut is None else cut
     if arity == 2 and last_scan - k0 >= 2:
         # One scan iteration per interior level: stack the (width-padded)
-        # child records so the traced graph is depth-independent.
-        wmax = 1 << last_scan
-        stacked = jnp.stack([
-            jnp.pad(packed_of(tree.levels[l]),
-                    ((0, wmax - (1 << l)), (0, 0)))
-            for l in range(k0 + 1, last_scan + 1)])
-
+        # child records so the traced graph is depth-independent. Levels are
+        # BUCKETED (≤4 per scan, shallow-first) and each bucket padded only
+        # to ITS deepest width: the TPU gather lowering scans the whole
+        # table per gather (measured cost grows with table rows — 0.85 →
+        # 1.89 ms for 9 (4096,16)-row gathers as the table grows 512 →
+        # 8192), so padding every level to 2^last_scan made the shallow
+        # levels as expensive as the deepest one. Graph size stays
+        # depth-independent per bucket (≈depth/4 scan bodies total).
         def scan_body(carry, packed_child):
             frontier, valid = carry
             frontier, valid, cols = level_body(packed_child, frontier,
                                                valid, 2, F)
             return (frontier, valid), cols
 
-        (frontier, valid), col_stacks = jax.lax.scan(
-            scan_body, (frontier, valid), stacked)
-        for k in range(ncols):
-            # (T, G, 2F) → (G, T·2F)
-            src_cols[k].append(
-                col_stacks[k].transpose(1, 0, 2).reshape(g_rows, -1))
+        lvls = list(range(k0 + 1, last_scan + 1))
+        for i in range(0, len(lvls), 4):
+            chunk = lvls[i:i + 4]
+            wpad = 1 << chunk[-1]
+            stacked = jnp.stack([
+                jnp.pad(packed_of(tree.levels[l]),
+                        ((0, wpad - (1 << l)), (0, 0)))
+                for l in chunk])
+            (frontier, valid), col_stacks = jax.lax.scan(
+                scan_body, (frontier, valid), stacked)
+            for k in range(ncols):
+                # (T, G, 2F) → (G, T·2F)
+                src_cols[k].append(
+                    col_stacks[k].transpose(1, 0, 2).reshape(g_rows, -1))
         if cut is None:
             leaf_ids, leaf_valid, leaf_cols = level_body(
                 packed_of(tree.levels[depth]), frontier, valid, 2, leaf_cap)
