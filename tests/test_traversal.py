@@ -171,6 +171,27 @@ def test_source_mass_conservation():
                                    err_msg=f"theta={theta} F={F} L={L}")
 
 
+def test_source_mass_conservation_deep_tree():
+    """Mass conservation across the BUCKETED interior scan (≤4 levels per
+    lax.scan, each bucket padded to its own deepest width). The small-N
+    test above never enters the scan path (it needs depth−1−k0 ≥ 2, i.e.
+    N ≥ 8,192 at F=16): N=32,768 runs one full 4-level bucket and
+    N=65,536 runs two buckets (4+1) — a dropped or double-counted frontier
+    at the bucket boundary shows up as a per-row mass defect here."""
+    from nbody_simulation_tpu.ops.tree import build_tree
+    from nbody_simulation_tpu.ops.traversal import bh_plan_sources
+    for n in (32_768, 65_536):
+        pos, mass = cloud(n)
+        total = float(np.asarray(mass).sum())
+        tree, _ = build_tree(pos, mass, unweighted_leaf_com=False)
+        for theta, F, L, mp in [(50.0, 16, 32, 1), (0.5, 16, 8, 1)]:
+            planned = bh_plan_sources(tree, theta, F, L, plan_leaves=8,
+                                      multipole=mp)
+            tm = np.asarray(planned[2], np.float64).sum(axis=1)
+            np.testing.assert_allclose(tm, total, rtol=1e-6,
+                                       err_msg=f"n={n} theta={theta}")
+
+
 # --- quadrupole path --------------------------------------------------------
 
 def test_quad_kernel_hessian_matches_autodiff():
