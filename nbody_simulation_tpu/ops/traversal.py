@@ -105,6 +105,12 @@ def _compact(flags: jax.Array, values: jax.Array, cap: int):
 # cost is flat in K while the rank path is O(K²) elements per row.
 _RANK_COMPACT_MAX_K = 128
 
+# Interior levels per lax.scan in the planner walk. Each bucket's level
+# records are padded only to ITS deepest width — the TPU gather lowering
+# scans the whole table per gather, so one scan padded to 2^last_scan made
+# shallow levels as expensive as the deepest one (docs/PERFORMANCE.md).
+_SCAN_BUCKET_LEVELS = 4
+
 
 def _compact_ranked(flags: jax.Array, values: jax.Array, key: jax.Array,
                     cap: int):
@@ -471,8 +477,9 @@ def plan_rows(tree: FlatTree, own, theta: float, frontier_cap: int,
             return (frontier, valid), cols
 
         lvls = list(range(k0 + 1, last_scan + 1))
-        for i in range(0, len(lvls), 4):
-            chunk = lvls[i:i + 4]
+        bs = _SCAN_BUCKET_LEVELS
+        for i in range(0, len(lvls), bs):
+            chunk = lvls[i:i + bs]
             wpad = 1 << chunk[-1]
             stacked = jnp.stack([
                 jnp.pad(packed_of(tree.levels[l]),
