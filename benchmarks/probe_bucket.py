@@ -22,6 +22,13 @@ from nbody_simulation_tpu.ops import traversal
 
 
 def measure(n: int, bucket: int, steps: int = 32) -> float:
+    import jax
+
+    # _SCAN_BUCKET_LEVELS is read at TRACE time inside the module-level
+    # jitted bh_accel_sorted: without clearing the pjit cache, every bucket
+    # after the first silently reuses the first bucket's trace and this
+    # probe measures nothing (near-identical readings are the signature).
+    jax.clear_caches()
     traversal._SCAN_BUCKET_LEVELS = bucket
     w = World(uniform_disc(n, seed=0), SimConfig(force_path="bh"))
     w.run(17)
