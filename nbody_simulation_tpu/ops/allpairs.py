@@ -100,6 +100,215 @@ def mono_tile(dx, dy, mj, softening2: float, rcp: str):
     return dx * w, dy * w
 
 
+def _sym_r(dx, dy, softening2: float, rcp: str):
+    """The shared pair kernel k(d) = 1/(‖d‖₁·max(‖d‖₂², ε)) of a tile.
+
+    Newton's third law for the reference law (src/main.rs:234-253): with
+    t = d·k(d), a_i += m_j·t and a_j −= m_i·t share everything except the
+    final mass product, so the expensive part (abs/sum/clamp/reciprocal,
+    ~11 VPU ops) is evaluated once per UNORDERED pair. Masked lanes
+    (self-pairs; non-finite under the mask guard) return k = 0.
+
+    "exact" computes the IEEE division (the interpret/CPU path — Mosaic's
+    approximate reciprocal has no interpreter lowering); the deviation from
+    ``pair_accel``'s numerator-first order is ≤2 ulp.
+    """
+    base, _, guard = rcp.partition("+")
+    s = jnp.abs(dx) + jnp.abs(dy)
+    d2 = jnp.maximum(dx * dx + dy * dy, jnp.float32(softening2))
+    if guard == "clamp":
+        den = jnp.maximum(s, jnp.float32(L1_CLAMP)) * d2
+        if base == "exact":
+            return jnp.float32(1.0) / den
+        r = pl.reciprocal(den, approx=True)
+        if base == "newton":
+            r = r * (jnp.float32(2.0) - den * r)
+        return r
+    normal = (s >= FLT_MIN_NORMAL) & (s <= jnp.float32(3.4028235e38))
+    den = s * d2
+    if base == "exact":
+        # Masked lanes get a denominator of 1 so no inf/NaN flows through
+        # the where on backends that trap-check (mirrors pair_accel).
+        r = jnp.float32(1.0) / jnp.where(normal, den, jnp.float32(1.0))
+    else:
+        r = pl.reciprocal(den, approx=True)
+        if base == "newton":
+            r = r * (jnp.float32(2.0) - den * r)
+    return jnp.where(normal, r, jnp.float32(0.0))
+
+
+def _allpairs_sym_kernel(xi_ref, yi_ref, mi_ref, xj_ref, yj_ref, mj_ref,
+                         axi0_ref, ayi0_ref, axj0_ref, ayj0_ref,
+                         axi_ref, ayi_ref, axj_ref, ayj_ref,
+                         softening2: float, rcp: str, nt: int,
+                         kk: int | None, strips: int):
+    """One tournament-schedule step: tile pair (i, (i+k) mod nt).
+
+    Grid = (nt//2 + 1, nt): round k pairs tile i with tile (i+k) mod nt —
+    every unordered tile pair exactly once (k=0 is the diagonal; for even
+    nt, round nt/2 generates each pair twice, so its second half i ≥ nt/2
+    is masked off). The four accumulators are aliased input/outputs
+    (read-modify-write through HBM): each acc block is revisited only once
+    per round — ≥ nt−1 grid steps apart — so the writeback of one visit
+    can never race the prefetch of the next.
+
+    ``kk``: None on the TPU fast path (k = grid dim 0). The interpret path
+    does NOT emulate aliased read-modify-write across grid steps (revisited
+    accumulator blocks read stale zeros — observed, not hypothetical), so
+    interpret mode runs one pallas_call per round with ``kk`` static and
+    the accumulators threaded functionally between calls; same kernel body.
+    """
+    if kk is None:
+        k = pl.program_id(0)
+        i = pl.program_id(1)
+    else:
+        k = jnp.int32(kk)
+        i = pl.program_id(0)
+    # Pass through unconditionally: aliased outputs must be rewritten on
+    # every step (masked steps included), else the writeback clobbers the
+    # accumulator block with uninitialized VMEM.
+    axi_ref[:] = axi0_ref[:]
+    ayi_ref[:] = ayi0_ref[:]
+    axj_ref[:] = axj0_ref[:]
+    ayj_ref[:] = ayj0_ref[:]
+
+    def body():
+        # The (TS,TS) tile is processed as ``strips`` sublane strips with
+        # eager reductions: a whole-tile body keeps dx/dy/r + four product
+        # tiles live at once (~19 tile temporaries — measured 19 MB scoped
+        # VMEM at TS=512, over the 16 MB limit), while strips bound the
+        # live set to ~5 strip-sized temporaries.
+        ts = xi_ref.shape[0]
+        rs = ts // strips
+        # k=0: the i-side already covers the full diagonal tile — a j-side
+        # pass would double it. The guard is a scalar 0/1 folded into the
+        # (rs,1) mass COLUMN (one cheap mul) instead of a pl.when per
+        # strip: per-strip conditionals break Mosaic's tile pipelining
+        # (the measured sweep-kernel dead end, docs/PERFORMANCE.md).
+        sj = jnp.where(k != 0, jnp.float32(1.0), jnp.float32(0.0))
+        for st in range(strips):
+            sl = slice(st * rs, (st + 1) * rs)
+            dx = xj_ref[:] - xi_ref[sl, :]   # (1,TS) - (rs,1) -> (rs,TS)
+            dy = yj_ref[:] - yi_ref[sl, :]
+            r = _sym_r(dx, dy, softening2, rcp)
+            wi = mj_ref[:] * r
+            axi_ref[sl, :] += jnp.sum(dx * wi, axis=1, keepdims=True)
+            ayi_ref[sl, :] += jnp.sum(dy * wi, axis=1, keepdims=True)
+            wj = (mi_ref[sl, :] * sj) * r
+            axj_ref[:] -= jnp.sum(dx * wj, axis=0, keepdims=True)
+            ayj_ref[:] -= jnp.sum(dy * wj, axis=0, keepdims=True)
+
+    if nt % 2 == 0:
+        pl.when((k != nt // 2) | (i < nt // 2))(body)
+    else:
+        body()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening2", "tile", "interpret", "rcp", "strips"))
+def allpairs_accel_sym(pos: jax.Array, mass: jax.Array,
+                       softening2: float = 1e-3, tile: int = 1024,
+                       interpret: bool = False,
+                       rcp: str = "newton", strips: int = 4) -> jax.Array:
+    """Self-interaction all-pairs acceleration via the symmetric kernel.
+
+    Same law and result as ``allpairs_accel(pos, mass)`` (summation order
+    differs — fp32-level deviation only), but each unordered pair is
+    evaluated once and applied to both particles (Newton's third law),
+    sharing the reciprocal pipeline between the two directions. Measured
+    1.36× the ordered kernel at N=1M on v5e (docs/PERFORMANCE.md).
+    Self-pairs only (no src_pos/src_mass): symmetry needs targets ≡ sources.
+    """
+    n = pos.shape[0]
+    tile = min(tile, n)
+    if n % tile:
+        raise ValueError(f"N={n} not divisible by tile {tile}")
+    strips = max(1, min(strips, tile // 8))   # strips must keep rs ≥ 8 rows
+    if tile % strips:
+        raise ValueError(f"tile={tile} not divisible by strips {strips}")
+    if rcp not in RCP_MODES:
+        raise ValueError(f"rcp must be one of {RCP_MODES}, got {rcp!r}")
+    if interpret or jax.default_backend() == "cpu":
+        interpret = True
+        rcp = "exact"
+
+    nt = n // tile
+    x_col = pos[:, 0:1]
+    y_col = pos[:, 1:2]
+    m_col = mass.reshape(n, 1)
+    x_row = pos[:, 0].reshape(1, n)
+    y_row = pos[:, 1].reshape(1, n)
+    m_row = mass.reshape(1, n)
+    # Distinct zero accumulators: mul-by-zero is not folded/CSE'd for
+    # floats (NaN·0 ≠ 0), so these stay four separate buffers and XLA's
+    # donation machinery never sees one buffer behind two aliased operands.
+    acc = (x_col * jnp.float32(0.0), y_col * jnp.float32(0.0),
+           x_row * jnp.float32(0.0), y_row * jnp.float32(0.0))
+    out_shape = [
+        jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+    ]
+    rounds = nt // 2 + 1
+
+    def specs(kk):
+        def jmap(k, i):
+            jj = i + k
+            return jnp.where(jj >= nt, jj - nt, jj)
+        if kk is None:
+            col = pl.BlockSpec((tile, 1), lambda k, i: (i, 0),
+                               memory_space=pltpu.VMEM)
+            row = pl.BlockSpec((1, tile), lambda k, i: (0, jmap(k, i)),
+                               memory_space=pltpu.VMEM)
+        else:
+            col = pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+            row = pl.BlockSpec((1, tile), lambda i: (0, jmap(kk, i)),
+                               memory_space=pltpu.VMEM)
+        return ([col, col, col, row, row, row, col, col, row, row],
+                [col, col, row, row])
+
+    def call(kk, grid, acc):
+        kernel = functools.partial(
+            _allpairs_sym_kernel, softening2=softening2, rcp=rcp, nt=nt,
+            kk=kk, strips=strips)
+        in_specs, out_specs = specs(kk)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * len(grid),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(FLOPS_PER_PAIR * n * n) // (2 * (1 if kk is None
+                                                        else rounds)),
+                bytes_accessed=8 * n * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x_col, y_col, m_col, x_row, y_row, m_row, *acc)
+
+    if interpret:
+        # One pallas_call per tournament round, accumulators threaded
+        # functionally: the interpreter does not emulate aliased
+        # read-modify-write across grid steps (see _allpairs_sym_kernel).
+        for kk in range(rounds):
+            acc = call(kk, (nt,), acc)
+        axi, ayi, axj, ayj = acc
+    else:
+        axi, ayi, axj, ayj = call(None, (rounds, nt), acc)
+
+    ax = axi[:, 0] + axj[0, :]
+    ay = ayi[:, 0] + ayj[0, :]
+    return jnp.stack([ax, ay], axis=1)
+
+
 def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
                      ax_ref, ay_ref, softening2: float, rcp: str):
     @pl.when(pl.program_id(1) == 0)

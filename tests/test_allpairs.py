@@ -89,3 +89,30 @@ def test_clamp_guard_identity():
     np.testing.assert_array_equal(cx_clamp, cx_mask)
     # and the clamped weight stays f32-finite even at the largest mass
     assert np.isfinite(mj * r_clamp).all()
+
+
+def test_sym_matches_direct(rng):
+    # The symmetric (third-law) kernel must reproduce the ordered kernel /
+    # direct path up to fp32 summation order, across tile-count parities:
+    # nt=1 (diagonal only), even nt (masked duplicate round nt/2), odd nt.
+    from nbody_simulation_tpu.ops.allpairs import allpairs_accel_sym
+    pos, mass = cloud(rng, 768)
+    want = np.asarray(direct_accel(pos, mass))
+    for tile in (768, 384, 256, 128):   # nt = 1, 2, 3, 6
+        got = np.asarray(allpairs_accel_sym(pos, mass, tile=tile,
+                                            interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7,
+                                   err_msg=f"tile={tile}")
+
+
+def test_sym_padding_inert(rng):
+    from nbody_simulation_tpu.ops.allpairs import allpairs_accel_sym
+    pos, mass = cloud(rng, 200)
+    st = ParticleState.create(pos, jnp.zeros_like(pos), mass).pad_to(128)
+    full = np.asarray(allpairs_accel_sym(st.pos, st.mass, tile=64,
+                                         interpret=True))
+    small = np.asarray(direct_accel(pos, mass))
+    np.testing.assert_allclose(full[:200], small, rtol=2e-5, atol=1e-7)
+    # padding rows receive force from real particles but exert none; the
+    # j-side accumulator must leave them zero-mass-consistent (finite)
+    assert np.isfinite(full).all()
