@@ -71,7 +71,7 @@ def main() -> None:
     _backend_or_retry()
     import jax
     import jax.numpy as jnp
-    from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+    from nbody_simulation_tpu.ops.allpairs import allpairs_accel_sym
 
     on_tpu = jax.default_backend() == "tpu"
     n = 1_048_576 if on_tpu else 4_096
@@ -85,17 +85,22 @@ def main() -> None:
         t0 = time.perf_counter()
         # float(...) forces a host readback — block_until_ready does not
         # synchronize under the axon tunnel.
+        # Symmetric third-law kernel (each unordered pair evaluated once,
+        # applied to both particles): 3.55e11 pairs/s vs the ordered
+        # kernel's 2.83e11 at this exact workload — the round-4 A/B table
+        # is in docs/PERFORMANCE.md (benchmarks/probe_sym.py).
         # rcp="approx+clamp": raw VPU reciprocal with the is_normal mask
         # replaced by the 1-op L1 clamp — BITWISE-identical to "approx" on
-        # finite inputs (tests/test_allpairs.py::test_clamp_guard_identity;
-        # verified again on this exact workload) and +8% pairs/s over it
-        # (2.83e11 vs 2.62e11 same-session, benchmarks/probe_rcp.py).
+        # finite inputs (tests/test_allpairs.py::test_clamp_guard_identity).
         # Quality vs the f64-accumulated oracle at 4096 sampled targets of
-        # THIS workload (benchmarks/probe_rcp_error.py): relative error
-        # med 4.7e-6 / p99 3.8e-5 / max 2.1e-4 — inside BASELINE's <1e-3
-        # budget (newton: med 3.2e-7 / max 1.7e-5). Library default stays
-        # "newton" (NaN-freeze guard) for physics-quality use.
-        _ = float(allpairs_accel(pos, mass, rcp="approx+clamp").sum())
+        # THIS workload (benchmarks/probe_rcp_error.py --sym): relative
+        # error med 4.7e-6 / p99 3.9e-5 / max 2.2e-4 — same error class as
+        # the ordered kernel (max 2.1e-4), inside BASELINE's <1e-3 budget
+        # (sym newton: med 4.4e-7 / max 1.9e-5).
+        # Library default stays "newton" (NaN-freeze guard) for
+        # physics-quality use.
+        _ = float(allpairs_accel_sym(pos, mass, tile=1024, strips=4,
+                                     rcp="approx+clamp").sum())
         return time.perf_counter() - t0
 
     run()  # compile + warm

@@ -58,17 +58,24 @@ print(f"force scale: med |a| {np.median(tnorm):.3e}  rms {rms:.3e}  "
 
 # ---- kernel modes on the device ----
 import jax.numpy as jnp
-from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+from nbody_simulation_tpu.ops.allpairs import allpairs_accel, allpairs_accel_sym
+
+SYM = "--sym" in sys.argv   # also measure the symmetric third-law kernel
 
 jp = jnp.asarray(pos)
 jm = jnp.asarray(mass)
-for rcp in ("newton", "approx+clamp"):
-    out = np.asarray(allpairs_accel(jp, jm, rcp=rcp))[idx].astype(np.float64)
-    err = np.linalg.norm(out - truth, axis=1)
-    rel = err / np.maximum(tnorm, 1e-300)
-    rel_rms = err / rms
-    q = lambda a: (np.median(a), np.percentile(a, 99), a.max())
-    print(f"rcp={rcp:13s} rel-to-own-|a|: med {q(rel)[0]:.2e} "
-          f"p99 {q(rel)[1]:.2e} max {q(rel)[2]:.2e}   "
-          f"rel-to-rms-force: med {q(rel_rms)[0]:.2e} "
-          f"p99 {q(rel_rms)[1]:.2e} max {q(rel_rms)[2]:.2e}", flush=True)
+kernels = [("ord", lambda rcp: allpairs_accel(jp, jm, rcp=rcp))]
+if SYM:
+    kernels.append(("sym", lambda rcp: allpairs_accel_sym(
+        jp, jm, tile=1024, strips=4, rcp=rcp)))
+for name, fn in kernels:
+    for rcp in ("newton", "approx+clamp"):
+        out = np.asarray(fn(rcp))[idx].astype(np.float64)
+        err = np.linalg.norm(out - truth, axis=1)
+        rel = err / np.maximum(tnorm, 1e-300)
+        rel_rms = err / rms
+        q = lambda a: (np.median(a), np.percentile(a, 99), a.max())
+        print(f"{name} rcp={rcp:13s} rel-to-own-|a|: med {q(rel)[0]:.2e} "
+              f"p99 {q(rel)[1]:.2e} max {q(rel)[2]:.2e}   "
+              f"rel-to-rms-force: med {q(rel_rms)[0]:.2e} "
+              f"p99 {q(rel_rms)[1]:.2e} max {q(rel_rms)[2]:.2e}", flush=True)

@@ -35,6 +35,24 @@ def timeit(fn, reps=3):
 def main() -> None:
     rng = np.random.default_rng(0)
 
+    # --- small-nt correctness (the aliased-RMW hazard band) ---
+    # nt<4 routes through the per-round path on TPU (no revisits); nt=4,5
+    # are the smallest grid-path tile counts — exercised here on hardware.
+    tile = 1024
+    for nt in (1, 2, 3, 4, 5):
+        n = tile * nt
+        pos = jnp.asarray(rng.uniform(0, 1e5, (n, 2)).astype(np.float32))
+        mass = jnp.asarray(rng.integers(1, 100, n).astype(np.float32))
+        a_ord = np.asarray(allpairs_accel(pos, mass,
+                                          tile_i=min(512, n),
+                                          tile_j=1024))
+        a_sym = np.asarray(allpairs_accel_sym(pos, mass, tile=tile))
+        scale = np.abs(a_ord).max()
+        err = np.abs(a_sym - a_ord).max() / scale
+        print(f"small-nt nt={nt}: max |sym-ord|/max|a| = {err:.3e}",
+              flush=True)
+        assert err < 1e-4, (nt, err)
+
     # --- correctness at 64k ---
     n = 65_536
     pos = jnp.asarray(rng.uniform(0, 1e5, (n, 2)).astype(np.float32))

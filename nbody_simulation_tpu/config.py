@@ -87,6 +87,20 @@ class SimConfig:
     tile_j: int = 2048
     rcp: str | None = None
 
+    # Symmetric third-law all-pairs kernel (ops/allpairs.allpairs_accel_sym)
+    # for SELF-interaction sweeps: each unordered pair is evaluated once and
+    # applied to both particles, sharing the reciprocal pipeline between the
+    # directions (the leaf exact-loop economics of src/main.rs:355-362,
+    # system-wide). Measured at N=1M on v5e (docs/PERFORMANCE.md round 4):
+    # 3.36e11 vs 2.46e11 pairs/s at rcp=newton (1.37×), 3.55e11 vs 2.83e11
+    # at approx+clamp. (sym_tile, sym_strips) = (1024, 4) measured fastest;
+    # 512-tiles lose (1.78e11 — too little work per revisit), 2048 trips
+    # the 16 MB scoped-VMEM limit. Source-≠-target sweeps (ring visiting
+    # stages) always use the ordered kernel: symmetry needs both sides local.
+    sym_allpairs: bool = True
+    sym_tile: int = 1024
+    sym_strips: int = 4
+
     def resolved_rcp(self, bh: bool = False) -> str:
         if self.rcp is not None:
             return self.rcp

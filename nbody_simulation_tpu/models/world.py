@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from nbody_simulation_tpu.config import DEFAULT_CONFIG, SimConfig
-from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+from nbody_simulation_tpu.ops.allpairs import allpairs_accel, allpairs_accel_sym
 from nbody_simulation_tpu.ops.force import direct_accel
 from nbody_simulation_tpu.ops.integrate import euler_step
 from nbody_simulation_tpu.state import ParticleState
@@ -32,9 +32,26 @@ def make_accel_fn(config: SimConfig):
     if config.force_path == "direct":
         return functools.partial(direct_accel, softening2=config.softening2)
     if config.force_path == "pallas":
-        return functools.partial(
+        ordered = functools.partial(
             allpairs_accel, softening2=config.softening2,
-            tile_i=config.tile_i, tile_j=config.tile_j, rcp=config.resolved_rcp())
+            tile_i=config.tile_i, tile_j=config.tile_j,
+            rcp=config.resolved_rcp())
+        if not config.sym_allpairs:
+            return ordered
+
+        def accel(pos, mass):
+            # Symmetric third-law kernel where the tiling admits it (N a
+            # multiple of the sym tile — World pads to guarantee this);
+            # ordered kernel otherwise. Same law/result up to fp32
+            # summation order (ops/allpairs.allpairs_accel_sym).
+            n = pos.shape[0]
+            if n % min(config.sym_tile, n):
+                return ordered(pos, mass)
+            return allpairs_accel_sym(
+                pos, mass, softening2=config.softening2,
+                tile=config.sym_tile, strips=config.sym_strips,
+                rcp=config.resolved_rcp())
+        return accel
     if config.force_path == "bh":
         from nbody_simulation_tpu.ops.traversal import bh_accel_fn
         return bh_accel_fn(config)
@@ -47,7 +64,9 @@ class World:
 
     def __init__(self, state: ParticleState, config: SimConfig = DEFAULT_CONFIG):
         self.config = config
-        pad = max(config.tile_i, config.tile_j) if config.force_path == "pallas" else 256
+        pad = (max(config.tile_i, config.tile_j,
+                   config.sym_tile if config.sym_allpairs else 0)
+               if config.force_path == "pallas" else 256)
         self.state = state.pad_to(pad)
         self.updates = 0
         self._build_step(config)

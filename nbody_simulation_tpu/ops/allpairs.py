@@ -149,14 +149,18 @@ def _allpairs_sym_kernel(xi_ref, yi_ref, mi_ref, xj_ref, yj_ref, mj_ref,
     nt, round nt/2 generates each pair twice, so its second half i ≥ nt/2
     is masked off). The four accumulators are aliased input/outputs
     (read-modify-write through HBM): each acc block is revisited only once
-    per round — ≥ nt−1 grid steps apart — so the writeback of one visit
-    can never race the prefetch of the next.
+    per round — ≥ nt−1 grid steps apart. Under depth-2 double buffering the
+    prefetch of step s begins during step s−1 while the writeback of step
+    s' can extend into step s'+1, so the no-race argument needs
+    nt−1 ≥ 3; ``allpairs_accel_sym`` routes nt < 4 through the per-round
+    path (each block visited once per call — no revisit at all).
 
-    ``kk``: None on the TPU fast path (k = grid dim 0). The interpret path
-    does NOT emulate aliased read-modify-write across grid steps (revisited
-    accumulator blocks read stale zeros — observed, not hypothetical), so
-    interpret mode runs one pallas_call per round with ``kk`` static and
-    the accumulators threaded functionally between calls; same kernel body.
+    ``kk``: None on the TPU fast path (k = grid dim 0). With ``kk`` static
+    the call covers one tournament round on a (nt,) grid and accumulators
+    thread functionally between calls — used for nt < 4 (above) and for
+    interpret mode, which does NOT emulate aliased read-modify-write
+    across grid steps (revisited accumulator blocks read stale zeros —
+    observed, not hypothetical). Same kernel body either way.
     """
     if kk is None:
         k = pl.program_id(0)
@@ -213,12 +217,20 @@ def allpairs_accel_sym(pos: jax.Array, mass: jax.Array,
                        rcp: str = "newton", strips: int = 4) -> jax.Array:
     """Self-interaction all-pairs acceleration via the symmetric kernel.
 
-    Same law and result as ``allpairs_accel(pos, mass)`` (summation order
-    differs — fp32-level deviation only), but each unordered pair is
-    evaluated once and applied to both particles (Newton's third law),
-    sharing the reciprocal pipeline between the two directions. Measured
-    1.36× the ordered kernel at N=1M on v5e (docs/PERFORMANCE.md).
+    Same law and result as ``allpairs_accel(pos, mass)`` for finite inputs
+    (summation order differs — fp32-level deviation only), but each
+    unordered pair is evaluated once and applied to both particles
+    (Newton's third law), sharing the reciprocal pipeline between the two
+    directions. A/B measurements vs the ordered kernel: docs/PERFORMANCE.md
+    (round-4 table; benchmarks/probe_sym.py).
     Self-pairs only (no src_pos/src_mass): symmetry needs targets ≡ sources.
+
+    Non-finite-input divergence from the ordered kernel: accumulators are
+    initialized as pos·0, so a NaN/inf POSITION NaN-poisons that particle's
+    own output row even under the default mask guard (the ordered kernel
+    returns exactly 0 there, the reference's silent is_normal freeze).
+    Inputs are finite by construction everywhere this is called; the
+    engine's nan_check guards uphold that invariant.
     """
     n = pos.shape[0]
     tile = min(tile, n)
@@ -294,10 +306,13 @@ def allpairs_accel_sym(pos: jax.Array, mass: jax.Array,
             interpret=interpret,
         )(x_col, y_col, m_col, x_row, y_row, m_row, *acc)
 
-    if interpret:
+    if interpret or nt < 4:
         # One pallas_call per tournament round, accumulators threaded
-        # functionally: the interpreter does not emulate aliased
-        # read-modify-write across grid steps (see _allpairs_sym_kernel).
+        # functionally. Two reasons to take this path (see
+        # _allpairs_sym_kernel): the interpreter does not emulate aliased
+        # read-modify-write across grid steps, and on TPU the flattened
+        # grid's revisit distance nt−1 only out-runs the depth-2
+        # prefetch/writeback overlap when nt ≥ 4.
         for kk in range(rounds):
             acc = call(kk, (nt,), acc)
         axi, ayi, axj, ayj = acc

@@ -636,7 +636,39 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
     reuse the stale local order (summaries still rebuild from live
     positions each step — the conservative walk absorbs looser AABBs,
     exactly the single-chip ``resort_every`` contract, ops/tree.py).
+
+    The jitted step pair is memoized on (mesh, config, axis, extra_pairs):
+    a rebalance whose seam adjacency flips BETWEEN already-seen matching
+    sets swaps to the already-compiled program instead of recompiling over
+    the serial tunnel (minutes at flagship scale — the hazard
+    repartition._cached solves the same way). Only the host-side cadence
+    counter is fresh per call, so concurrent worlds never share state.
     """
+    step_resort, step_stale = _step_fns(mesh, config, axis,
+                                        tuple(extra_pairs))
+    every = max(1, config.resort_every)
+    counter = [0]
+
+    def step(state: ParticleState) -> ParticleState:
+        fn = step_resort if counter[0] % every == 0 else step_stale
+        counter[0] += 1
+        return fn(state)
+
+    # After a rebalance the state is freshly globally sorted; callers reset
+    # the resort cadence instead of rebuilding the closure (a rebuild
+    # discards the jit caches and forces a full recompile at unchanged
+    # shapes).
+    def reset() -> None:
+        counter[0] = 0
+
+    step.reset = reset
+    return step
+
+
+@functools.lru_cache(maxsize=32)
+def _step_fns(mesh: Mesh, config: SimConfig, axis: str, extra_pairs):
+    """The compiled core of make_distributed_bh_step: (resort, stale) jitted
+    step functions. Cached so their jit caches survive seam-set changes."""
     cfg = config
     fdt = np.float32(cfg.dt)
     mbits = cfg.resolved_morton_bits()
@@ -679,22 +711,4 @@ def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
             return state.replace(pos=pos, vel=vel, mass=smass)
         return step
 
-    step_resort = make(True)
-    step_stale = make(False)
-    every = max(1, cfg.resort_every)
-    counter = [0]
-
-    def step(state: ParticleState) -> ParticleState:
-        fn = step_resort if counter[0] % every == 0 else step_stale
-        counter[0] += 1
-        return fn(state)
-
-    # After a rebalance the state is freshly globally sorted; callers reset
-    # the resort cadence instead of rebuilding the closure (a rebuild
-    # discards the jit caches and forces a full recompile at unchanged
-    # shapes).
-    def reset() -> None:
-        counter[0] = 0
-
-    step.reset = reset
-    return step
+    return make(True), make(False)

@@ -75,7 +75,16 @@ class DistributedWorld:
                 extra = adjacency_stages(self.state, self.mesh, self.config,
                                          axis=self.axis)
                 if extra != self._extra:
-                    self._build_step()
+                    # Seam set changed: swap step closures. The jitted pair
+                    # is memoized on (mesh, config, axis, extra_pairs)
+                    # inside make_distributed_bh_step, so flipping back to
+                    # an already-seen adjacency reuses its compiled program
+                    # (no retrace; the fresh closure's counter starts at 0,
+                    # i.e. resort-first — correct right after a rebalance).
+                    self._extra = extra
+                    self._step = make_distributed_bh_step(
+                        self.mesh, self.config, axis=self.axis,
+                        extra_pairs=extra)
                     return
             self._step.reset()
 

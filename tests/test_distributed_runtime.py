@@ -266,6 +266,45 @@ def test_multihost_cli_sharded_checkpoint(tmp_path):
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert "len: 1024" in r2.stdout and "done: 1 steps" in r2.stdout
 
+def test_step_closures_cached_across_seam_changes():
+    """A rebalance that flips the seam-adjacency set between two
+    already-seen matchings must swap to the already-compiled step program,
+    not recompile (minutes over the serial TPU tunnel at flagship scale).
+    make_distributed_bh_step memoizes its jitted pair on
+    (mesh, config, axis, extra_pairs); this alternates two adjacency sets
+    and asserts no retrace via the jit cache sizes."""
+    from nbody_simulation_tpu.parallel.bh_distributed import (
+        _step_fns, make_distributed_bh_step)
+    from nbody_simulation_tpu.parallel.mesh import AXIS
+
+    mesh = make_1d_mesh(8)
+    cfg = dcfg().replace(theta=0.5)
+    ds = distribute_state(uniform_disc(8 * 256, seed=5), mesh, cfg)
+    e1 = ()
+    e2 = (((0, 2), (2, 0), (5, 7), (7, 5)),)
+
+    _step_fns.cache_clear()
+    s_a = make_distributed_bh_step(mesh, cfg, extra_pairs=e1)
+    ds = s_a(ds)        # counter=0 → resort variant compiles
+    ds = s_a(ds)        # counter=1 → stale variant compiles
+    s_b = make_distributed_bh_step(mesh, cfg, extra_pairs=e2)
+    ds = s_b(ds)
+    # Flip BACK to e1 (what a rebalance alternating between two seam sets
+    # does): must be a cache hit, and running it must not add a compile.
+    s_c = make_distributed_bh_step(mesh, cfg, extra_pairs=e1)
+    info = _step_fns.cache_info()
+    assert info.misses == 2 and info.hits == 1, info
+    resort1, stale1 = _step_fns(mesh, cfg, AXIS, e1)
+    sizes_before = (resort1._cache_size(), stale1._cache_size())
+    ds = s_c(ds)        # fresh closure, counter=0 → the resort variant
+    ds = s_c(ds)        # counter=1 → the stale variant
+    assert (resort1._cache_size(), stale1._cache_size()) == sizes_before
+    assert np.isfinite(np.asarray(ds.pos)).all()
+    # Distinct closures over the same cached pair never share cadence state.
+    s_c.reset()
+    assert s_a is not s_c
+
+
 def test_multiprocess_snapshot_gate_is_deterministic():
     """In a multi-process run _render_snapshot is a mesh collective, so the
     snapshot decision must not depend on per-process state (queue fullness,
