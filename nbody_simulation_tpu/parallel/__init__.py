@@ -5,8 +5,9 @@ from nbody_simulation_tpu.parallel.sharded_step import (
 from nbody_simulation_tpu.parallel.bh_sharded import (
     bh_sharded_accel, make_sharded_bh_step)
 from nbody_simulation_tpu.parallel.bh_distributed import (
-    adjacency_stages, bh_distributed_accel, distribute_state,
-    make_distributed_bh_step, rebalance_state, resolved_seam_stages)
+    adjacency_stages, bh_distributed_accel, bh_distributed_total_energy,
+    distribute_state, make_distributed_bh_step, rebalance_state,
+    resolved_seam_stages)
 from nbody_simulation_tpu.parallel.raster import (
     sharded_render_frame, simulate_distributed)
 from nbody_simulation_tpu.parallel.repartition import (
@@ -16,7 +17,8 @@ __all__ = ["make_1d_mesh", "shard_state", "ring_allpairs_accel",
            "make_sharded_step", "sharded_diagnostics",
            "sharded_total_energy",
            "bh_sharded_accel", "make_sharded_bh_step",
-           "adjacency_stages", "bh_distributed_accel", "distribute_state",
+           "adjacency_stages", "bh_distributed_accel",
+           "bh_distributed_total_energy", "distribute_state",
            "make_distributed_bh_step", "rebalance_state",
            "resolved_seam_stages",
            "sharded_render_frame", "simulate_distributed",

@@ -622,6 +622,106 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
     return f(pos, mass)
 
 
+def bh_distributed_total_energy(state: ParticleState, mesh: Mesh,
+                                config: SimConfig, axis: str = AXIS,
+                                extra_pairs=()):
+    """O(N·C/P) psum'd total energy: the distributed θ-consistent cadence
+    diagnostic (SURVEY §5 telemetry row, src/main.rs:74-79,148-156).
+
+    Same staging as ``bh_distributed_accel`` — local subtree, the two
+    Morton-neighbor subtrees, seam matchings from ``extra_pairs``, the
+    coarse forest for everything ring-far (or the subtree ring when forest
+    mode is off) — but the planned source columns feed the counterpart
+    pair potential (ops/energy.bh_potential_from_columns) instead of the
+    force kernel, mirroring the single-chip ``ops.bh_total_energy``.
+    Differences from the force pass, both fine at diagnostic cadence:
+
+    - near stages ship the WHOLE visiting subtree block (≈ the shard size,
+      ~13 MB at a 1M shard) instead of the compute-to-data level protocol —
+      a per-cadence cost, not per-step;
+    - plans run monopole, un-refined, at the local plan granularity: the
+      potential approximation is θ-consistent with the forces, so its
+      step-to-step DRIFT tracks the integrator like the exact evaluation
+      (tests/test_energy.py exactness classes apply per stage).
+
+    vs the exact ring sweep (parallel.sharded_total_energy, O(N²/P) per
+    device): at the 16.7M flagship that is ~1.8e13 pairs/device ≈ tens of
+    seconds per evaluation; this is O(N·C/P) ≈ milliseconds.
+    """
+    from nbody_simulation_tpu.ops.energy import bh_potential_from_columns
+
+    cfg = config
+    n_dev = mesh.shape[axis]
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    forest = cfg.resolved_far_mode() == "forest" and n_dev >= 4
+    if forest and resolved_seam_stages(cfg) and not extra_pairs:
+        forest = False      # same quality gate as bh_distributed_accel
+    covered_np = None
+    if forest and extra_pairs:
+        covered_np = np.zeros((n_dev, n_dev), bool)
+        for d in range(n_dev):
+            covered_np[d, [d, (d + 1) % n_dev, (d - 1) % n_dev]] = True
+        for matching in extra_pairs:
+            for s, d in matching:
+                covered_np[d, s] = True
+
+    def local(pos_l, vel_l, mass_l):
+        tree = summarize_sorted(pos_l, mass_l, leaf_size=cfg.leaf_size,
+                                unweighted_leaf_com=cfg.unweighted_leaf_com)
+        n_leaves, S, _ = tree.leaf_pos.shape
+        pl_ = max(1, min(cfg.plan_leaves, n_leaves))
+        while n_leaves % pl_:
+            pl_ //= 2
+        own = tree.levels[tree.depth - (pl_.bit_length() - 1)]
+        tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
+        tgtm = tree.leaf_mass.reshape(n_leaves // pl_, pl_ * S)
+        fcap, lcap = cfg.resolved_caps()
+
+        def pot(planned):
+            return bh_potential_from_columns(
+                tgtm, tgt, *planned[:3], softening2=cfg.softening2)
+
+        if forest:
+            u = pot(plan_rows(tree, own, cfg.theta, fcap, lcap,
+                              cfg.tree_arity, multipole=1))
+            back = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+            for sperm in [perm, back] + [list(m) for m in extra_pairs]:
+                visiting = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x, axis, sperm), tree)
+                u = u + pot(plan_rows(visiting, own, cfg.theta, fcap,
+                                      max(lcap, 4 * pl_), cfg.tree_arity,
+                                      multipole=1))
+            ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels,
+                                   covered_np=covered_np)
+            ff = max(16, 1 << max(0, (n_dev - 1).bit_length()))
+            k0 = min(max(ff.bit_length() - 1, 0), ftree.depth - 1)
+            u = u + pot(plan_rows(ftree, own, cfg.theta, ff, 0, arity=2,
+                                  multipole=1,
+                                  max_levels=ftree.depth - k0))
+        else:
+            u = jnp.float32(0.0)
+            visiting = tree
+            for s in range(n_dev):
+                if s > 0:
+                    visiting = jax.tree.map(
+                        lambda x: jax.lax.ppermute(x, axis, perm), visiting)
+                f_s, l_s = _stage_caps(cfg, min(s, n_dev - s), n_dev)
+                u = u + pot(plan_rows(visiting, own, cfg.theta, f_s, l_s,
+                                      cfg.tree_arity, multipole=1))
+        pe = jax.lax.psum(u, axis)
+        ke = jax.lax.psum(
+            jnp.sum(jnp.float32(0.5) * mass_l * jnp.sum(vel_l ** 2, -1)),
+            axis)
+        return pe, ke
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis, None), P(axis)),
+                      out_specs=(P(), P()), check_vma=False)
+    pe, ke = f(state.pos, state.vel, state.mass)
+    return {"potential_energy": pe, "kinetic_energy": ke,
+            "total_energy": pe + ke}
+
+
 def make_distributed_bh_step(mesh: Mesh, config: SimConfig,
                              axis: str = AXIS, extra_pairs=()):
     """Full multi-chip distributed-BH step: local re-sort (amortized over

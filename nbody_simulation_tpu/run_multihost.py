@@ -72,8 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "boundaries with catch-up semantics)")
     p.add_argument("--energy-every", type=int, default=0, metavar="K",
                    help="steps between live total-energy prints (0 = off): "
-                        "psum'd ring pair sweep, O(N²/P) per device — a "
-                        "cadence diagnostic (utils.telemetry.EnergyMeter)")
+                        "a cadence diagnostic (utils.telemetry.EnergyMeter)")
+    p.add_argument("--energy-method", choices=("exact", "bh"),
+                   default="exact",
+                   help="exact: psum'd ring pair sweep, O(N²/P) per device "
+                        "(tens of seconds/eval at flagship N); bh: psum'd "
+                        "θ-consistent staged BH potential, O(N·C/P) — "
+                        "milliseconds at any N "
+                        "(parallel.bh_distributed_total_energy)")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="process 0: live browser viewer on this port")
     p.add_argument("--selfcheck", action="store_true",
@@ -124,17 +130,6 @@ def main(argv=None) -> int:
     from nbody_simulation_tpu.utils.telemetry import RateMeter
 
     pid, nproc = jax.process_index(), jax.process_count()
-    if args.serve and nproc > 1:
-        # Refuse BEFORE any O(N) generation / compiles / recorder files:
-        # the viewer's controls (pause, θ/dt/render_size) would reach only
-        # process 0's engine while the other processes keep issuing the
-        # original step collectives — a guaranteed mesh desync/hang. The
-        # interactive viewer is a single-process feature (any device
-        # count); multi-process runs are driven by flags + recordings.
-        raise SystemExit(
-            "--serve is single-process only: viewer controls cannot be "
-            "broadcast across processes (they would desynchronize the "
-            "mesh collectives). Drop --serve, or run single-process.")
     emit = print if (pid == 0 and not args.quiet) else (lambda *a, **k: None)
     emit(f"processes: {nproc}, devices: {len(jax.devices())} "
          f"({len(jax.local_devices())} local)")
@@ -204,7 +199,8 @@ def main(argv=None) -> int:
         # prints (emit is a no-op elsewhere).
         from nbody_simulation_tpu.utils.telemetry import EnergyMeter
         meter_cb = EnergyMeter(args.energy_every, emit=emit,
-                               softening2=cfg.softening2)
+                               softening2=cfg.softening2,
+                               method=args.energy_method)
         callbacks.append(meter_cb)
     engine = DistributedEngine(
         world, snapshot_interval=0.0,
@@ -222,10 +218,19 @@ def main(argv=None) -> int:
 
     viewer = None
     if args.serve and pid == 0:
+        # Multi-process runs serve a READ-ONLY viewer: frames/stats are
+        # safe (the snapshot render is a deterministic collective every
+        # process joins, runtime/distributed.py), but controls reaching
+        # only process 0's engine while the others keep issuing the
+        # original step collectives would desync the mesh — /control
+        # returns 409 (the reference's window is always available,
+        # src/main.rs:143-184; here watching is always available).
         from nbody_simulation_tpu.viz import ViewerServer
-        viewer = ViewerServer(engine, port=args.serve, energy_meter=meter_cb)
+        viewer = ViewerServer(engine, port=args.serve, energy_meter=meter_cb,
+                              read_only=nproc > 1)
         viewer.start()
-        emit(f"viewer: http://127.0.0.1:{viewer.port}/")
+        emit(f"viewer: http://127.0.0.1:{viewer.port}/"
+             + (" (read-only: multi-process)" if nproc > 1 else ""))
 
     meter = RateMeter(emit=emit)
     t0 = time.perf_counter()

@@ -109,13 +109,24 @@ class EnergyMeter:
             return
         self._last = step
         if getattr(world, "mesh", None) is not None:
-            # Sharded exact ring sweep ("bh" is single-chip only: the
-            # distributed force path has no single planned-columns view).
-            from nbody_simulation_tpu.parallel.sharded_step import (
-                sharded_total_energy)
-            e = float(sharded_total_energy(
-                world.state, world.mesh,
-                softening2=self.softening2)["total_energy"])
+            if self.method == "bh":
+                # O(N·C/P) θ-consistent staged potential — the scalable
+                # cadence mode (at flagship N the exact ring sweep costs
+                # tens of seconds per evaluation). Uses the world's live
+                # seam stages so the approximation matches the force pass.
+                from nbody_simulation_tpu.parallel.bh_distributed import (
+                    bh_distributed_total_energy)
+                e = float(bh_distributed_total_energy(
+                    world.state, world.mesh, world.config,
+                    extra_pairs=getattr(world, "_extra", ()),
+                )["total_energy"])
+            else:
+                # Sharded exact ring sweep, O(N²/P) per device.
+                from nbody_simulation_tpu.parallel.sharded_step import (
+                    sharded_total_energy)
+                e = float(sharded_total_energy(
+                    world.state, world.mesh,
+                    softening2=self.softening2)["total_energy"])
         elif self.method == "bh":
             # O(N·C) θ-consistent approximation — the large-N cadence mode.
             from nbody_simulation_tpu.ops.energy import bh_total_energy

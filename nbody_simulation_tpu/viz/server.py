@@ -18,6 +18,13 @@ deployment the interactive surface is a browser: a stdlib HTTP server serves
 
 A consumer thread pops snapshots from the engine queue at its own pace —
 exactly the render thread's role — and keeps only the latest.
+
+``read_only=True`` (multi-process runs, run_multihost.py): the frame/stats
+surface stays up — the reference's window is always available
+(src/main.rs:143-184) and the distributed snapshot render is a
+deterministic collective every process joins — but ``/control`` returns
+409: controls reaching only process 0's engine while the others keep
+issuing the original step collectives would desynchronize the mesh.
 """
 
 from __future__ import annotations
@@ -82,9 +89,16 @@ _PAGE = b"""<!doctype html>
 class ViewerServer:
     """Serves the engine's latest snapshot over HTTP."""
 
+    READ_ONLY_MSG = (b"409: viewer is read-only on multi-process runs - "
+                     b"controls cannot be broadcast across processes (they "
+                     b"would desynchronize the mesh collectives); frames "
+                     b"and stats remain live")
+
     def __init__(self, engine: Engine, port: int = 8000,
-                 host: str = "127.0.0.1", energy_meter=None):
+                 host: str = "127.0.0.1", energy_meter=None,
+                 read_only: bool = False):
         self.engine = engine
+        self.read_only = read_only
         # Explicit handoff beats introspecting engine.on_batch: the hook is
         # often a composite lambda (run_multihost wraps callbacks), which
         # would hide the meter from /stats.
@@ -130,10 +144,25 @@ class ViewerServer:
                     return self._reply(json.dumps(viewer.stats()).encode(),
                                        "application/json")
                 if url.path == "/control":
+                    if viewer.read_only:
+                        body = viewer.READ_ONLY_MSG
+                        self.send_response(409)
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return None
                     q = parse_qs(url.query)
                     viewer._control(q)
                     return self._reply(b'{"ok": true}', "application/json")
-                return self._reply(_PAGE, "text/html")
+                page = _PAGE
+                if viewer.read_only:
+                    # Same page minus the control row; banner instead.
+                    page = _PAGE.replace(
+                        b"<div>", b"<div hidden>", 1).replace(
+                        b"&mdash; live",
+                        b"&mdash; live (read-only: multi-process run)", 1)
+                return self._reply(page, "text/html")
 
             def _stream(self):
                 """Push each new frame as one part of a

@@ -127,3 +127,58 @@ def test_bh_total_energy_exact_and_quality():
     q_cfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False)
     got_q = float(bh_total_energy(st, q_cfg))
     assert abs(got_q - want) / abs(want) < 1e-3, (got_q, want)
+
+
+def test_bh_distributed_total_energy_exact_and_quality():
+    """The distributed staged BH potential (parallel.bh_distributed_total_
+    energy): exact-class at θ=0 with caps ≥ level widths (seam stages
+    cover every non-neighbor pair, the forest is fully emptied, every
+    source is a real leaf particle), θ-consistent class at θ=0.5 with the
+    run's own adjacency seam stages — mirrors
+    test_bh_total_energy_exact_and_quality on the 8-device mesh."""
+    from nbody_simulation_tpu.parallel import (adjacency_stages,
+                                               bh_distributed_total_energy,
+                                               distribute_state, make_1d_mesh)
+
+    mesh = make_1d_mesh(8)
+    st = uniform_disc(4096, seed=9)
+    want = float(total_energy(st))
+
+    exact_cfg = SimConfig(force_path="bh", theta=0.0, frontier_cap=64,
+                          leaf_cap=64, plan_leaves=1,
+                          unweighted_leaf_com=False)
+    ds = distribute_state(st, mesh, exact_cfg)
+    extra = adjacency_stages(ds, mesh, exact_cfg)
+    assert extra, "θ=0 must schedule seam stages for every far pair"
+    d = bh_distributed_total_energy(ds, mesh, exact_cfg, extra_pairs=extra)
+    np.testing.assert_allclose(float(d["total_energy"]), want, rtol=1e-5)
+
+    q_cfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False)
+    dq = distribute_state(st, mesh, q_cfg)
+    extra_q = adjacency_stages(dq, mesh, q_cfg)
+    dqe = bh_distributed_total_energy(dq, mesh, q_cfg, extra_pairs=extra_q)
+    got_q = float(dqe["total_energy"])
+    assert abs(got_q - want) / abs(want) < 2e-3, (got_q, want)
+    # KE is exact regardless of staging.
+    ke = float(jnp.sum(0.5 * jnp.asarray(np.asarray(dq.mass))
+                       * jnp.sum(jnp.asarray(np.asarray(dq.vel)) ** 2, -1)))
+    np.testing.assert_allclose(float(dqe["kinetic_energy"]), ke, rtol=1e-5)
+
+
+def test_bh_distributed_energy_ring_fallback_theta50():
+    """θ=50 with no seam stages: the staged potential uses the forest path;
+    its value must land in the same class as the exact sharded sweep (the
+    θ=50 acceptance error largely cancels in the double-count sum)."""
+    from nbody_simulation_tpu.parallel import (bh_distributed_total_energy,
+                                               distribute_state, make_1d_mesh,
+                                               sharded_total_energy)
+
+    cfg = SimConfig(force_path="bh", theta=50.0)
+    mesh = make_1d_mesh(8)
+    st = plummer(4096, seed=5)
+    ds = distribute_state(st, mesh, cfg)
+    want = float(sharded_total_energy(ds, mesh)["total_energy"])
+    got = float(bh_distributed_total_energy(ds, mesh, cfg)["total_energy"])
+    # θ=50 COM-approximation class, not exact — the drift METRIC only needs
+    # step-to-step consistency, but the level must be right.
+    assert abs(got - want) / abs(want) < 0.05, (got, want)

@@ -195,3 +195,73 @@ def test_galaxy_exact_chunks_bitwise_invariant():
         np.testing.assert_array_equal(
             np.concatenate([np.asarray(p.mass) for p in parts]),
             np.asarray(full.mass))
+
+
+@pytest.mark.slow
+def test_two_process_readonly_viewer(tmp_path):
+    """--serve on a multi-process run: process 0 serves frames/stats
+    (the snapshot render is a deterministic collective, so watching is
+    safe), /control returns 409 (controls cannot be broadcast), and the
+    run completes cleanly with the viewer attached."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    port = _free_port()
+    vport = _free_port()
+    extra = ("--serve", str(vport), "--snapshot-every", "1")
+    p1 = _launch(1, 2, port, extra=("--snapshot-every", "1"))
+    p0 = _launch(0, 2, port, extra=extra)
+    try:
+        # Wait for the viewer to come up (compiles happen first).
+        deadline = time.monotonic() + 600
+        stats = None
+        while time.monotonic() < deadline and p0.poll() is None:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{vport}/stats", timeout=2) as r:
+                    import json as _json
+                    stats = _json.loads(r.read())
+                    break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                time.sleep(0.5)
+        assert stats is not None, "viewer never came up"
+
+        # Controls are refused with 409 — and the run must keep stepping.
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{vport}/control?cmd=pause", timeout=5)
+            raise AssertionError("control must return 409 on multi-process")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+            assert b"read-only" in e.read()
+
+        # The page advertises read-only; the frame endpoint serves a PNG
+        # once the first collective snapshot lands.
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{vport}/", timeout=5) as r:
+            assert b"read-only" in r.read()
+        png = b""
+        while time.monotonic() < deadline and p0.poll() is None:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{vport}/frame.png", timeout=5) as r:
+                    png = r.read()
+            except (urllib.error.URLError, ConnectionError, OSError):
+                break   # run (and viewer) ended between polls — fine
+            if png:
+                break
+            time.sleep(0.5)
+        if png:   # the run may finish before a frame is popped — stats
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        out0, _ = p0.communicate(timeout=900)
+        out1, _ = p1.communicate(timeout=120)
+    finally:
+        for p in (p0, p1):
+            if p.poll() is None:
+                p.kill()
+    assert p0.returncode == 0, out0
+    assert p1.returncode == 0, out1
+    assert "viewer: http://127.0.0.1" in out0 and "(read-only" in out0, out0
+    assert [l for l in out0.splitlines() if l.startswith("done:")], out0
