@@ -75,6 +75,17 @@ def config1():
     t0 = time.perf_counter(); w.run(100); sync(w.state)
     dt = (time.perf_counter() - t0) / 100
     emit(1, "direct N=4096 steps/sec", 1 / dt, "steps/s")
+    # Companion number: per-step DEVICE time from a 1,000-step back-to-back
+    # dispatched window. The 100-step wall number above is tunnel-dispatch-
+    # latency bound at this N (measured 725→2311→2085 steps/s across
+    # rounds — a 3× band that hides real regressions); amortizing dispatch
+    # over 1,000 async steps with ONE closing sync makes this the
+    # regression-detecting metric (stable within ~5% across runs).
+    w.run(5); sync(w.state)
+    t0 = time.perf_counter(); w.run(1000); sync(w.state)
+    dt_dev = (time.perf_counter() - t0) / 1000
+    emit(1, "direct N=4096 per-step device time (1000-step window)",
+         dt_dev * 1e3, "ms/step", steps_per_sec=1 / dt_dev)
 
 
 def config2():

@@ -115,11 +115,23 @@ def _fwd(pos, mass, softening2, tile_i, tile_j):
     return out, (pos, mass)
 
 
-def _bwd(softening2, tile_i, tile_j, res, g):
-    pos, mass = res
-    n = pos.shape[0]
-    ti = min(tile_i, n)
-    tj = min(tile_j, n)
+def bwd_sweeps(pos_i: jax.Array, g_i: jax.Array,
+               pos_j: jax.Array, mass_j: jax.Array,
+               softening2: float, tile_i: int, tile_j: int):
+    """The two backward sweeps for one (targets i, sources j) block.
+
+    Returns (p̄_i (Ni,2), p̄_j (Nj,2), m̄_j (Nj,)) — the cotangent
+    contributions of this block's pairs to target positions, source
+    positions, and source masses. ``pos_i``/``pos_j`` may be the same
+    array (the single-chip case, where the caller sums both position
+    parts) or different shards' tiles (the ring backward,
+    parallel/ring_grad.py — the flash-attention-backward-over-a-ring
+    dataflow, where p̄_j/m̄_j ride the rotating accumulator).
+    """
+    ni = pos_i.shape[0]
+    nj = pos_j.shape[0]
+    ti = min(tile_i, ni)
+    tj = min(tile_j, nj)
     # The backward keeps ~6 full (ti, tj) temporaries live (dx, dy, t, ux,
     # uy, ...) vs the forward's ~3 — cap the tile area at 256K f32 so the
     # scoped-VMEM budget holds.
@@ -129,13 +141,16 @@ def _bwd(softening2, tile_i, tile_j, res, g):
         ti //= 2
     interpret = jax.default_backend() == "cpu"
 
-    x_col, y_col = pos[:, 0:1], pos[:, 1:2]
-    x_row = pos[:, 0].reshape(1, n)
-    y_row = pos[:, 1].reshape(1, n)
-    m_row = mass.reshape(1, n)
-    gx_col, gy_col = g[:, 0:1], g[:, 1:2]
-    gx_row = g[:, 0].reshape(1, n)
-    gy_row = g[:, 1].reshape(1, n)
+    x_col, y_col = pos_i[:, 0:1], pos_i[:, 1:2]
+    x_row = pos_i[:, 0].reshape(1, ni)
+    y_row = pos_i[:, 1].reshape(1, ni)
+    xj_col, yj_col = pos_j[:, 0:1], pos_j[:, 1:2]
+    xj_row = pos_j[:, 0].reshape(1, nj)
+    yj_row = pos_j[:, 1].reshape(1, nj)
+    m_row = mass_j.reshape(1, nj)
+    gx_col, gy_col = g_i[:, 0:1], g_i[:, 1:2]
+    gx_row = g_i[:, 0].reshape(1, ni)
+    gy_row = g_i[:, 1].reshape(1, ni)
 
     col = lambda: pl.BlockSpec((ti, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -144,16 +159,16 @@ def _bwd(softening2, tile_i, tile_j, res, g):
     params = pltpu.CompilerParams(dimension_semantics=("parallel",
                                                        "arbitrary"))
 
-    # Sweep 1: p̄_i (reduce over j).
+    # Sweep 1: p̄_i (reduce over j). Grid (I, J).
     pbx, pby = pl.pallas_call(
         functools.partial(_bwd_i_kernel, softening2=softening2,
                           exact_rcp=interpret),
-        grid=(n // ti, n // tj),
+        grid=(ni // ti, nj // tj),
         in_specs=[col(), col(), col(), col(), row(), row(), row()],
         out_specs=[col(), col()],
-        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ni, 1), jnp.float32)] * 2,
         compiler_params=params, interpret=interpret,
-    )(x_col, y_col, gx_col, gy_col, x_row, y_row, m_row)
+    )(x_col, y_col, gx_col, gy_col, xj_row, yj_row, m_row)
 
     # Sweep 2: p̄_j and m̄_j (reduce over i; roles of the axes swap).
     colj = lambda: pl.BlockSpec((tj, 1), lambda i, j: (i, 0),
@@ -163,15 +178,23 @@ def _bwd(softening2, tile_i, tile_j, res, g):
     qbx, qby, mb = pl.pallas_call(
         functools.partial(_bwd_j_kernel, softening2=softening2,
                           exact_rcp=interpret),
-        grid=(n // tj, n // ti),
+        grid=(nj // tj, ni // ti),
         in_specs=[colj(), colj(), colj(), rowi(), rowi(), rowi(), rowi()],
         out_specs=[colj(), colj(), colj()],
-        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((nj, 1), jnp.float32)] * 3,
         compiler_params=params, interpret=interpret,
-    )(x_col, y_col, mass.reshape(n, 1), x_row, y_row, gx_row, gy_row)
+    )(xj_col, yj_col, mass_j.reshape(nj, 1), x_row, y_row, gx_row, gy_row)
 
-    pbar = jnp.concatenate([pbx + qbx, pby + qby], axis=1)
-    return pbar, mb[:, 0]
+    pb_i = jnp.concatenate([pbx, pby], axis=1)
+    pb_j = jnp.concatenate([qbx, qby], axis=1)
+    return pb_i, pb_j, mb[:, 0]
+
+
+def _bwd(softening2, tile_i, tile_j, res, g):
+    pos, mass = res
+    pb_i, pb_j, mb = bwd_sweeps(pos, g, pos, mass, softening2,
+                                tile_i, tile_j)
+    return pb_i + pb_j, mb
 
 
 allpairs_accel_diff.defvjp(_fwd, _bwd)

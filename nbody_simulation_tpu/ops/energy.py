@@ -195,10 +195,28 @@ def bh_potential_from_columns(tgt_mass: jax.Array, tgt_pos: jax.Array,
     pair appears once per direction in BH, so the ½ double-count factor
     still applies. XLA-only (the O(N·C) reduction is bandwidth-trivial next
     to the force sweep; no Pallas needed at diagnostic cadences).
+
+    The (G, S, C) pair tile is evaluated in row chunks via ``lax.map`` so
+    the live intermediate is bounded (~tens of MB) — at a 1M shard the
+    unchunked tile is 4096×256×1344 f32 ≈ 5.6 GB, which must never be a
+    materialization candidate on a 16 GB part. Chunk boundaries only
+    change fp32 partial-sum order.
     """
-    dx = src_x[:, None, :] - tgt_pos[..., 0][:, :, None]     # (G, S, C)
-    dy = src_y[:, None, :] - tgt_pos[..., 1][:, :, None]
-    c = pot_tile(dx, dy, src_m[:, None, :], softening2)
-    phi = jnp.sum(c, axis=-1)                                # (G, S)
-    return jnp.float32(0.5) * jnp.sum(
-        tgt_mass.reshape(phi.shape) * phi)
+    G, S, _ = tgt_pos.shape
+    gb = min(256, G)
+    while G % gb:
+        gb //= 2
+
+    def chunk_u(args):
+        tp, tm, sx, sy, sm = args
+        dx = sx[:, None, :] - tp[..., 0][:, :, None]     # (gb, S, C)
+        dy = sy[:, None, :] - tp[..., 1][:, :, None]
+        c = pot_tile(dx, dy, sm[:, None, :], softening2)
+        return jnp.sum(tm * jnp.sum(c, axis=-1))
+
+    def rs(a):
+        return a.reshape((G // gb, gb) + a.shape[1:])
+
+    parts = jax.lax.map(chunk_u, (rs(tgt_pos), rs(tgt_mass.reshape(G, S)),
+                                  rs(src_x), rs(src_y), rs(src_m)))
+    return jnp.float32(0.5) * jnp.sum(parts)

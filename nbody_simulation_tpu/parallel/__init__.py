@@ -1,5 +1,6 @@
 from nbody_simulation_tpu.parallel.mesh import make_1d_mesh, shard_state
 from nbody_simulation_tpu.parallel.ring import ring_allpairs_accel
+from nbody_simulation_tpu.parallel.ring_grad import ring_allpairs_accel_diff
 from nbody_simulation_tpu.parallel.sharded_step import (
     make_sharded_step, sharded_diagnostics, sharded_total_energy)
 from nbody_simulation_tpu.parallel.bh_sharded import (
@@ -14,6 +15,7 @@ from nbody_simulation_tpu.parallel.repartition import (
     collective_rebalance, make_collective_rebalance)
 
 __all__ = ["make_1d_mesh", "shard_state", "ring_allpairs_accel",
+           "ring_allpairs_accel_diff",
            "make_sharded_step", "sharded_diagnostics",
            "sharded_total_energy",
            "bh_sharded_accel", "make_sharded_bh_step",

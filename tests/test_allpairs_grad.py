@@ -63,3 +63,67 @@ def test_vjp_near_softening_boundary(rng):
     assert np.percentile(rel, 95) < 1e-3, np.percentile(rel, 95)
     l2 = np.linalg.norm(gp_k - gp_d) / np.linalg.norm(gp_d)
     assert l2 < 1e-2, l2
+
+
+def test_ring_vjp_matches_single_chip(rng):
+    """Distributed gradients: jax.grad through the ring (shard_map +
+    ppermute, parallel/ring_grad.py) on the 8-device mesh must match the
+    single-chip custom VJP at fp32 tolerance — positions AND masses, with
+    the same cotangent. Also checks forward parity."""
+    from nbody_simulation_tpu.parallel import make_1d_mesh
+    from nbody_simulation_tpu.parallel.ring_grad import (
+        ring_allpairs_accel_diff)
+
+    n = 8 * 128
+    mesh = make_1d_mesh(8)
+    pos, mass = cloud(rng, n)
+    cot = jnp.asarray(rng.normal(0, 1, (n, 2)).astype(np.float32))
+
+    def loss_ring(p, m):
+        return jnp.sum(ring_allpairs_accel_diff(p, m, mesh, "shard",
+                                                1e-3, 128, 128) * cot)
+
+    def loss_single(p, m):
+        return jnp.sum(allpairs_accel_diff(p, m, 1e-3, 128, 128) * cot)
+
+    a_ring = np.asarray(ring_allpairs_accel_diff(pos, mass, mesh, "shard",
+                                                 1e-3, 128, 128))
+    a_single = np.asarray(allpairs_accel_diff(pos, mass, 1e-3, 128, 128))
+    np.testing.assert_allclose(a_ring, a_single, rtol=2e-4, atol=1e-7)
+
+    gp_r, gm_r = jax.grad(loss_ring, argnums=(0, 1))(pos, mass)
+    gp_s, gm_s = jax.grad(loss_single, argnums=(0, 1))(pos, mass)
+    np.testing.assert_allclose(np.asarray(gp_r), np.asarray(gp_s),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gm_r), np.asarray(gm_s),
+                               rtol=2e-4, atol=1e-9)
+
+
+def test_ring_vjp_grad_through_step(rng):
+    """End-to-end: gradient of a scalar of the NEXT state w.r.t. the
+    CURRENT sharded state (one Euler step over the differentiable ring
+    force) is finite and matches the single-chip step gradient."""
+    from nbody_simulation_tpu.parallel import make_1d_mesh
+    from nbody_simulation_tpu.parallel.ring_grad import (
+        ring_allpairs_accel_diff)
+
+    n = 8 * 64
+    mesh = make_1d_mesh(8)
+    pos, mass = cloud(rng, n)
+    vel = jnp.asarray(rng.normal(0, 1, (n, 2)).astype(np.float32))
+    dt = jnp.float32(0.1)
+
+    def final_spread(p, ring):
+        if ring:
+            acc = ring_allpairs_accel_diff(p, mass, mesh, "shard",
+                                           1e-3, 64, 64)
+        else:
+            acc = allpairs_accel_diff(p, mass, 1e-3, 64, 64)
+        v2 = vel + acc * dt
+        p2 = p + v2 * dt
+        return jnp.sum((p2 - jnp.mean(p2, 0)) ** 2)
+
+    g_ring = np.asarray(jax.grad(lambda p: final_spread(p, True))(pos))
+    g_single = np.asarray(jax.grad(lambda p: final_spread(p, False))(pos))
+    assert np.isfinite(g_ring).all()
+    np.testing.assert_allclose(g_ring, g_single, rtol=2e-4, atol=1e-5)
