@@ -647,7 +647,24 @@ def bh_distributed_total_energy(state: ParticleState, mesh: Mesh,
     vs the exact ring sweep (parallel.sharded_total_energy, O(N²/P) per
     device): at the 16.7M flagship that is ~1.8e13 pairs/device ≈ tens of
     seconds per evaluation; this is O(N·C/P) ≈ milliseconds.
+
+    The jitted evaluator is memoized on (mesh, config, axis, extra_pairs)
+    — the ``_step_fns`` pattern — so a cadence of evaluations (EnergyMeter
+    fires this every ``--energy-every`` steps) compiles ONCE per seam set
+    instead of re-tracing a fresh shard_map closure per call (a full
+    recompile over the serial tunnel, minutes at flagship scale).
     """
+    f = _energy_fn(mesh, config, axis, tuple(extra_pairs))
+    pe, ke = f(state.pos, state.vel, state.mass)
+    return {"potential_energy": pe, "kinetic_energy": ke,
+            "total_energy": pe + ke}
+
+
+@functools.lru_cache(maxsize=32)
+def _energy_fn(mesh: Mesh, config: SimConfig, axis: str, extra_pairs):
+    """The compiled core of bh_distributed_total_energy: a jitted
+    shard_map over (pos, vel, mass) → replicated (pe, ke). Cached so the
+    jit cache survives across cadence evaluations and seam-set changes."""
     from nbody_simulation_tpu.ops.energy import bh_potential_from_columns
 
     cfg = config
@@ -714,12 +731,10 @@ def bh_distributed_total_energy(state: ParticleState, mesh: Mesh,
             axis)
         return pe, ke
 
-    f = jax.shard_map(local, mesh=mesh,
-                      in_specs=(P(axis, None), P(axis, None), P(axis)),
-                      out_specs=(P(), P()), check_vma=False)
-    pe, ke = f(state.pos, state.vel, state.mass)
-    return {"potential_energy": pe, "kinetic_energy": ke,
-            "total_energy": pe + ke}
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(), P()), check_vma=False))
 
 
 def make_distributed_bh_step(mesh: Mesh, config: SimConfig,

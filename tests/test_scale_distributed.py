@@ -148,3 +148,91 @@ def test_p16_virtual_mesh_forest_and_seams():
     # Physics quality at P=16: forest + adjacency seam stages must stay in
     # the exact-walk class (the 8-device tier measures median 3.5e-8).
     assert selfcheck_median(r2.stdout) < 1e-3, r2.stdout
+
+
+@pytest.mark.slow
+def test_524k_physics_quality_parity_and_energy_soak():
+    """The θ=0.5 physics-quality machinery (adjacency seam matchings,
+    2×-tightened θ_eff, drift margin, quadrupole walks) at the 524k/8-device
+    tier — the round-3 verdict's missing regression. Two contracts:
+
+    1. Approximation-class parity: distributed error vs SAMPLED direct
+       ground truth ≤ 1.3× the single-chip θ=0.5 walk's error (the same
+       contract as the θ=50 tier; at 8k–65k the measured distributed
+       median is 3.5e-8 vs the exact ring — here both sides are capped
+       approximations, so class parity is the honest bound).
+    2. A soak with TOTAL-ENERGY drift tracked by the scalable
+       distributed cadence energy (parallel.bh_distributed_total_energy,
+       θ-consistent with the force pass), plus the conservation rails of
+       the θ=50 soak. 6 steps, not the θ=50 tier's 25: every phase here
+       runs the wide physics-quality caps through interpret-mode sweeps
+       on the 1-core CPU mesh (~4 min/step) and the full test must fit a
+       CI slow tier — a 25-step variant was measured at >3 h wall.
+    """
+    from nbody_simulation_tpu.parallel import (adjacency_stages,
+                                               bh_distributed_total_energy)
+
+    mesh = make_1d_mesh(8)
+    cfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False)
+    st = uniform_disc(N, seed=42)
+    total = float(np.asarray(st.mass).sum())
+    ds = distribute_state(st, mesh, cfg)
+    extra = adjacency_stages(ds, mesh, cfg)
+
+    # --- 1. class parity vs sampled truth ---
+    pos_all, mass_all = np.asarray(ds.pos), np.asarray(ds.mass)
+    got = np.asarray(bh_distributed_accel(ds.pos, ds.mass, mesh, config=cfg,
+                                          extra_pairs=extra))
+    # The single-chip-walk reference comes from bh_sharded_accel: the
+    # replicated-tree sharded walk tests the SAME node set as the
+    # single-chip walk (exact parity asserted at 1e-5 in
+    # tests/test_parallel.py) but splits the traced program 8× — a direct
+    # bh_accel at 524k/θ=0.5 wide caps blows up the XLA CPU compiler
+    # (observed 130 GB RSS → host OOM; interpret-mode Pallas inlines all
+    # 144 grid steps into one program).
+    from nbody_simulation_tpu.parallel import bh_sharded_accel
+    want = np.asarray(bh_sharded_accel(ds.pos, ds.mass, mesh, config=cfg))
+    assert np.isfinite(got).all()
+    real_idx = np.flatnonzero(mass_all > 0)
+    sample = np.random.default_rng(4).choice(real_idx, 1024, replace=False)
+    truth = np.asarray(direct_accel_at(
+        jnp.asarray(pos_all[sample]), jnp.asarray(pos_all),
+        jnp.asarray(mass_all)))
+
+    def rel_err(approx):
+        return (np.linalg.norm(approx[sample] - truth, axis=1)
+                / np.maximum(np.linalg.norm(truth, axis=1), 1e-12))
+
+    rel_d, rel_s = rel_err(got), rel_err(want)
+    assert np.median(rel_d) < 1.3 * np.median(rel_s), (
+        np.median(rel_d), np.median(rel_s))
+    assert (np.percentile(rel_d, 90)
+            < 1.3 * np.percentile(rel_s, 90)), (
+        np.percentile(rel_d, 90), np.percentile(rel_s, 90))
+    # Physics-quality absolute rail: the θ=0.5 quadrupole walk itself
+    # measures ~4e-4 median vs truth at 1M (docs/PERFORMANCE.md).
+    assert np.median(rel_d) < 2e-3, np.median(rel_d)
+
+    # --- 2. soak with distributed cadence-energy drift ---
+    print("parity phase done", flush=True)
+    step = make_distributed_bh_step(mesh, cfg, extra_pairs=extra)
+    e0 = float(bh_distributed_total_energy(
+        ds, mesh, cfg, extra_pairs=extra)["total_energy"])
+    d0 = sharded_diagnostics(ds, mesh)
+    p0 = np.asarray(d0["momentum"])
+    for k in range(6):
+        ds = step(ds)
+        print(f"soak step {k + 1}/6", flush=True)
+    e1 = float(bh_distributed_total_energy(
+        ds, mesh, cfg, extra_pairs=extra)["total_energy"])
+    d = sharded_diagnostics(ds, mesh)
+    assert np.isfinite(np.asarray(ds.pos)).all()
+    np.testing.assert_allclose(float(d["total_mass"]), total, rtol=1e-6)
+    assert int(np.asarray(d["n_live"])) == N
+    drift = abs(e1 - e0) / max(abs(e0), 1e-30)
+    # Euler at dt=0.1 under a non-conservative law drifts; the BH
+    # approximation must not blow it up (suite config 2 measures the same
+    # metric at 65k: ~1e-3 class over 50 steps).
+    assert np.isfinite(e0) and np.isfinite(e1)
+    assert drift < 1e-2, (e0, e1, drift)
+    assert np.abs(np.asarray(d["momentum"]) - p0).max() < 0.01 * N
