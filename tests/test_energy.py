@@ -182,3 +182,38 @@ def test_bh_distributed_energy_ring_fallback_theta50():
     # θ=50 COM-approximation class, not exact — the drift METRIC only needs
     # step-to-step consistency, but the level must be right.
     assert abs(got - want) / abs(want) < 0.05, (got, want)
+
+
+def test_bh_distributed_energy_fn_cached_across_seam_changes():
+    """bh_distributed_total_energy memoizes its jitted evaluator on
+    (mesh, config, axis, extra_pairs) — the _step_fns pattern — so a
+    cadence of EnergyMeter evaluations compiles once per seam set, and a
+    rebalance flipping between already-seen matchings swaps back with no
+    retrace (a fresh shard_map closure would recompile for minutes over the
+    serial TPU tunnel at flagship scale)."""
+    from nbody_simulation_tpu.parallel import (bh_distributed_total_energy,
+                                               distribute_state, make_1d_mesh)
+    from nbody_simulation_tpu.parallel.bh_distributed import _energy_fn
+    from nbody_simulation_tpu.parallel.mesh import AXIS
+
+    mesh = make_1d_mesh(8)
+    cfg = SimConfig(force_path="bh", theta=0.5, unweighted_leaf_com=False)
+    ds = distribute_state(uniform_disc(8 * 256, seed=11), mesh, cfg)
+    e1 = ()
+    e2 = (((0, 2), (2, 0), (5, 7), (7, 5)),)
+
+    _energy_fn.cache_clear()
+    a = bh_distributed_total_energy(ds, mesh, cfg, extra_pairs=e1)
+    b = bh_distributed_total_energy(ds, mesh, cfg, extra_pairs=e2)
+    # Flip back to e1: must be an lru hit AND a jit-cache hit.
+    f1 = _energy_fn(mesh, cfg, AXIS, e1)
+    size_before = f1._cache_size()
+    c = bh_distributed_total_energy(ds, mesh, cfg, extra_pairs=e1)
+    info = _energy_fn.cache_info()
+    assert info.misses == 2 and info.hits >= 2, info
+    assert f1._cache_size() == size_before
+    # Same state + same seam set → identical value; the extra seam stage
+    # moves pairs between stages, not physics class.
+    np.testing.assert_allclose(float(c["total_energy"]),
+                               float(a["total_energy"]), rtol=0)
+    assert np.isfinite(float(b["total_energy"]))
