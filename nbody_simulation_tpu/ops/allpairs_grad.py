@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbody_simulation_tpu.ops.allpairs import allpairs_accel
+from nbody_simulation_tpu.ops.allpairs import allpairs_accel, allpairs_accel_sym
 from nbody_simulation_tpu.ops.force import FLT_MIN_NORMAL
 
 _FLT_MAX = 3.4028235e38
@@ -101,17 +101,37 @@ def _bwd_j_kernel(xj, yj, mj, xi, yi, gx, gy, oux, ouy, om, softening2,
     om[:] += jnp.sum(r * t, axis=1, keepdims=True)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def allpairs_accel_diff(pos: jax.Array, mass: jax.Array,
                         softening2: float = 1e-3,
-                        tile_i: int = 512, tile_j: int = 2048) -> jax.Array:
-    """Differentiable blocked all-pairs acceleration (rcp="newton")."""
+                        tile_i: int = 512, tile_j: int = 2048,
+                        rcp: str = "newton", sym: bool = False,
+                        sym_tile: int = 1024,
+                        sym_strips: int = 4) -> jax.Array:
+    """Differentiable blocked all-pairs acceleration.
+
+    The primal mirrors ``models.world.make_accel_fn``'s pallas path exactly
+    — same ``rcp`` mode and, with ``sym=True``, the same symmetric
+    third-law kernel/tiling — so grad-mode forward values are BITWISE equal
+    to run-mode forward values under the configured mode
+    (tests/test_allpairs_grad.py asserts this). The backward is the
+    closed-form J^T·ḡ of the force law itself, evaluated with a
+    Newton-refined reciprocal regardless of ``rcp``: the reciprocal mode
+    perturbs the forward VALUE at the 1e-6..1e-4 level but is not part of
+    the differentiated math (like dropout rng or attention-mask layout, it
+    selects arithmetic, not function).
+    """
+    if sym and pos.shape[0] % min(sym_tile, pos.shape[0]) == 0:
+        return allpairs_accel_sym(pos, mass, softening2=softening2,
+                                  tile=sym_tile, strips=sym_strips, rcp=rcp)
     return allpairs_accel(pos, mass, softening2=softening2,
-                          tile_i=tile_i, tile_j=tile_j, rcp="newton")
+                          tile_i=tile_i, tile_j=tile_j, rcp=rcp)
 
 
-def _fwd(pos, mass, softening2, tile_i, tile_j):
-    out = allpairs_accel_diff(pos, mass, softening2, tile_i, tile_j)
+def _fwd(pos, mass, softening2, tile_i, tile_j, rcp, sym, sym_tile,
+         sym_strips):
+    out = allpairs_accel_diff(pos, mass, softening2, tile_i, tile_j,
+                              rcp, sym, sym_tile, sym_strips)
     return out, (pos, mass)
 
 
@@ -190,7 +210,7 @@ def bwd_sweeps(pos_i: jax.Array, g_i: jax.Array,
     return pb_i, pb_j, mb[:, 0]
 
 
-def _bwd(softening2, tile_i, tile_j, res, g):
+def _bwd(softening2, tile_i, tile_j, rcp, sym, sym_tile, sym_strips, res, g):
     pos, mass = res
     pb_i, pb_j, mb = bwd_sweeps(pos, g, pos, mass, softening2,
                                 tile_i, tile_j)

@@ -73,21 +73,27 @@ def _pick_tile(total: int, cap_elems: int, other: int) -> int:
     return best
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def grouped_force_diff(tgt_pos, src_x, src_y, src_m, softening2=1e-3):
-    """Differentiable version of ops.traversal._grouped_force."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def grouped_force_diff(tgt_pos, src_x, src_y, src_m, softening2=1e-3,
+                       rcp="newton"):
+    """Differentiable version of ops.traversal._grouped_force.
+
+    The primal runs the production sweep kernel with the caller's ``rcp``
+    mode, so a grad-mode BH forward equals the run-mode forward under the
+    configured mode. The backward uses its own Newton-refined reciprocal
+    regardless (``rcp`` selects forward arithmetic, not the function)."""
     interpret = jax.default_backend() == "cpu"
     return _tv._grouped_force(tgt_pos, src_x, src_y, src_m,
-                              softening2=softening2, rcp="newton",
+                              softening2=softening2, rcp=rcp,
                               interpret=interpret)
 
 
-def _gf_fwd(tgt_pos, src_x, src_y, src_m, softening2):
-    out = grouped_force_diff(tgt_pos, src_x, src_y, src_m, softening2)
+def _gf_fwd(tgt_pos, src_x, src_y, src_m, softening2, rcp):
+    out = grouped_force_diff(tgt_pos, src_x, src_y, src_m, softening2, rcp)
     return out, (tgt_pos, src_x, src_y, src_m)
 
 
-def _gf_bwd(softening2, res, g):
+def _gf_bwd(softening2, rcp, res, g):
     tgt_pos, src_x, src_y, src_m = res
     gr, s, _ = tgt_pos.shape
     c = src_x.shape[1]
@@ -158,11 +164,14 @@ def bh_accel_diff(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
                   world_size: float = 100_000.0,
                   unweighted_leaf_com: bool = True,
                   frontier_cap: int = 32, leaf_cap: int = 16,
-                  arity: int = 2, plan_leaves: int = 1) -> jax.Array:
+                  arity: int = 2, plan_leaves: int = 1,
+                  rcp: str = "newton") -> jax.Array:
     """Differentiable Barnes-Hut acceleration (original particle order).
 
     Same walk as ops.traversal.bh_accel; jax.grad flows through the exact
-    leaf interactions and the accepted COMs.
+    leaf interactions and the accepted COMs. Pass the run configuration's
+    ``rcp`` (``SimConfig.resolved_rcp(bh=True)``) for forward parity with
+    the run-mode sweep under that mode.
     """
     from nbody_simulation_tpu.ops.tree import build_tree
 
@@ -177,6 +186,6 @@ def bh_accel_diff(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
     src_x, src_y, src_m = _tv.bh_plan_sources(
         tree, theta, frontier_cap, leaf_cap, arity=arity, plan_leaves=pl_)
     tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
-    acc = grouped_force_diff(tgt, src_x, src_y, src_m, softening2)
+    acc = grouped_force_diff(tgt, src_x, src_y, src_m, softening2, rcp)
     acc_sorted = acc.reshape(n_leaves * S, 2)
     return jnp.zeros((n, 2), jnp.float32).at[order].set(acc_sorted[:n])

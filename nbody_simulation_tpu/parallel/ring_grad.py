@@ -36,32 +36,41 @@ from nbody_simulation_tpu.parallel.mesh import AXIS
 from nbody_simulation_tpu.parallel.ring import ring_allpairs_accel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def ring_allpairs_accel_diff(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                              axis: str = AXIS, softening2: float = 1e-3,
                              tile_i: int = 512,
-                             tile_j: int = 2048) -> jax.Array:
-    """Differentiable sharded all-pairs acceleration (rcp="newton").
+                             tile_j: int = 2048,
+                             rcp: str = "newton", sym: bool = True,
+                             sym_tile: int = 1024) -> jax.Array:
+    """Differentiable sharded all-pairs acceleration.
 
     ``pos`` f32[N,2] / ``mass`` f32[N] sharded over ``axis`` (N divisible
     by P; local N/P compatible with the tile sizes). Returns f32[N,2] with
-    the same sharding. Same forward value as ``ring_allpairs_accel`` at
-    rcp="newton" with the ordered local stage (the symmetric local kernel
-    is value-identical up to fp32 summation order but is bypassed here so
-    forward and backward see the same pair arithmetic).
+    the same sharding. The primal IS ``ring_allpairs_accel`` with the same
+    ``rcp``/``sym`` knobs (and the same defaults), so grad-mode forward
+    values are bitwise equal to run-mode forward values under the
+    configured mode — a user who configured approx+clamp gets the same
+    trajectory whether or not a grad is being taken
+    (tests/test_allpairs_grad.py asserts it). The backward evaluates the
+    closed-form J^T·ḡ with its own Newton-refined reciprocal regardless of
+    ``rcp`` (the mode selects forward arithmetic, not the differentiated
+    function).
     """
     return ring_allpairs_accel(pos, mass, mesh, axis=axis,
                                softening2=softening2, tile_i=tile_i,
-                               tile_j=tile_j, rcp="newton", sym=False)
+                               tile_j=tile_j, rcp=rcp, sym=sym,
+                               sym_tile=sym_tile)
 
 
-def _fwd(pos, mass, mesh, axis, softening2, tile_i, tile_j):
+def _fwd(pos, mass, mesh, axis, softening2, tile_i, tile_j, rcp, sym,
+         sym_tile):
     out = ring_allpairs_accel_diff(pos, mass, mesh, axis, softening2,
-                                   tile_i, tile_j)
+                                   tile_i, tile_j, rcp, sym, sym_tile)
     return out, (pos, mass)
 
 
-def _bwd(mesh, axis, softening2, tile_i, tile_j, res, g):
+def _bwd(mesh, axis, softening2, tile_i, tile_j, rcp, sym, sym_tile, res, g):
     pos, mass = res
     n_dev = mesh.shape[axis]
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]

@@ -127,3 +127,53 @@ def test_ring_vjp_grad_through_step(rng):
     g_single = np.asarray(jax.grad(lambda p: final_spread(p, False))(pos))
     assert np.isfinite(g_ring).all()
     np.testing.assert_allclose(g_ring, g_single, rtol=2e-4, atol=1e-5)
+
+
+def test_grad_mode_forward_matches_run_mode_sym(rng):
+    """rcp/sym plumb (round-4 verdict Weak #5): a user who configured the
+    symmetric kernel and a non-default rcp gets BITWISE the same forward
+    value in grad mode as in run mode — no silent newton/ordered override."""
+    from nbody_simulation_tpu.ops.allpairs import (allpairs_accel,
+                                                   allpairs_accel_sym)
+
+    n = 1024
+    pos, mass = cloud(rng, n)
+    a_run_sym = np.asarray(allpairs_accel_sym(
+        pos, mass, tile=256, strips=4, rcp="approx+clamp"))
+    a_grad_sym = np.asarray(allpairs_accel_diff(
+        pos, mass, 1e-3, 128, 128, "approx+clamp", True, 256, 4))
+    np.testing.assert_array_equal(a_run_sym, a_grad_sym)
+
+    a_run_ord = np.asarray(allpairs_accel(pos, mass, tile_i=128, tile_j=128,
+                                          rcp="approx+clamp"))
+    a_grad_ord = np.asarray(allpairs_accel_diff(
+        pos, mass, 1e-3, 128, 128, "approx+clamp", False))
+    np.testing.assert_array_equal(a_run_ord, a_grad_ord)
+
+    # The backward is mode-independent (closed-form J^T·ḡ): gradients taken
+    # through the sym forward still match autodiff of the direct path.
+    cot = jnp.asarray(rng.normal(0, 1, (n, 2)).astype(np.float32))
+    gp_k = np.asarray(jax.grad(lambda p: jnp.sum(allpairs_accel_diff(
+        p, mass, 1e-3, 128, 128, "newton", True, 256, 4) * cot))(pos))
+    gp_d = np.asarray(jax.grad(lambda p: jnp.sum(
+        direct_accel(p, mass, row_chunk=n) * cot))(pos))
+    np.testing.assert_allclose(gp_k, gp_d, rtol=2e-4, atol=1e-7)
+
+
+def test_ring_grad_mode_forward_matches_run_mode(rng):
+    """The distributed grad entry's primal IS the run-mode ring force:
+    same defaults (sym local stage), same rcp plumb — bitwise."""
+    from nbody_simulation_tpu.parallel import make_1d_mesh
+    from nbody_simulation_tpu.parallel.ring import ring_allpairs_accel
+    from nbody_simulation_tpu.parallel.ring_grad import (
+        ring_allpairs_accel_diff)
+
+    n = 8 * 128
+    mesh = make_1d_mesh(8)
+    pos, mass = cloud(rng, n)
+    for rcp in ("newton", "approx+clamp"):
+        a_run = np.asarray(ring_allpairs_accel(
+            pos, mass, mesh, axis="shard", tile_i=128, tile_j=128, rcp=rcp))
+        a_grad = np.asarray(ring_allpairs_accel_diff(
+            pos, mass, mesh, "shard", 1e-3, 128, 128, rcp))
+        np.testing.assert_array_equal(a_run, a_grad)

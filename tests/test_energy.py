@@ -207,13 +207,22 @@ def test_bh_distributed_energy_fn_cached_across_seam_changes():
     b = bh_distributed_total_energy(ds, mesh, cfg, extra_pairs=e2)
     # Flip back to e1: must be an lru hit AND a jit-cache hit.
     f1 = _energy_fn(mesh, cfg, AXIS, e1)
-    size_before = f1._cache_size()
+    # _cache_size is a JAX-private jit attribute (no stability guarantee);
+    # the lru hit-count below is the load-bearing retrace-freedom check, the
+    # jit-cache size is a bonus assertion when the API exists.
+    size_before = f1._cache_size() if hasattr(f1, "_cache_size") else None
     c = bh_distributed_total_energy(ds, mesh, cfg, extra_pairs=e1)
     info = _energy_fn.cache_info()
     assert info.misses == 2 and info.hits >= 2, info
-    assert f1._cache_size() == size_before
+    if size_before is not None:
+        assert f1._cache_size() == size_before
     # Same state + same seam set → identical value; the extra seam stage
     # moves pairs between stages, not physics class.
     np.testing.assert_allclose(float(c["total_energy"]),
                                float(a["total_energy"]), rtol=0)
+    # The extra seam stage moves pairs between the forest and a per-pair
+    # near stage — same θ class, so the value must agree loosely, not just
+    # be finite (a grossly wrong seam-stage potential must not pass).
     assert np.isfinite(float(b["total_energy"]))
+    np.testing.assert_allclose(float(b["total_energy"]),
+                               float(a["total_energy"]), rtol=1e-2)
