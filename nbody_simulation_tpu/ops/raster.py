@@ -30,13 +30,38 @@ import jax.numpy as jnp
 
 def accumulate_pixels(pos: jax.Array, vel: jax.Array, mass: jax.Array,
                       world_size: float, render_size: int,
-                      heavy_weight: float):
-    """The three commutative per-pixel reductions + the tint of the last
-    light hit: ``(green i32, count i32, last i32, vlast i32)``, each flat
+                      heavy_weight: float, pack_tint: bool | None = None):
+    """The commutative per-pixel reductions + the tint of the last light
+    hit: ``(green i32, count i32, last i32, vlast i32)``, each flat
     (npix,). ``last`` is the particle-ARRAY index (-1 = none) — the merge
     key that makes the scatter order-free; the distributed renderer
     (parallel/raster.py) offsets it per shard and merges shards with
-    pmax/psum before colorizing."""
+    pmax/psum before colorizing.
+
+    TWO scatters total (XLA TPU scatter costs ~6 ms per 1M updates
+    regardless of sortedness hints — benchmarks/probe_raster.py round 5;
+    the original 3-scatter + npix-gather form measured 39 ms at N=1M,
+    this one 20.5):
+
+    - scatter-MAX of one packed key: heavy → 2³⁰ (dominates every light
+      key), light → idx·256 + vterm (idx dominates the tint bits, and a
+      given idx has one vterm, so the max IS the last light hit);
+    - scatter-ADD of the light count.
+
+    Shadowing semantics: at a pixel hit by BOTH heavy and light particles
+    the packed max is the heavy key, so ``last``/``vlast`` report -1/0
+    there instead of the actual last light hit. That pixel's green flag is
+    set on this shard, hence set in any pmax merge containing it, and
+    ``colorize_pixels`` ignores light data on green pixels — the FRAME is
+    pixel-identical, single-chip and distributed (probe_raster.py asserts
+    it; tests/test_raster.py + test_distributed.py gate it).
+
+    The idx·256 packing needs idx < 2²². N beyond that (single-chip 16.7M
+    runs) drops the vterm bits from the key and gathers the tint instead
+    (the pre-round-5 formulation, one extra npix gather). ``pack_tint``
+    overrides the size-based choice (tests exercise both branches at
+    small N and assert identical outputs).
+    """
     n = pos.shape[0]
     npix = render_size * render_size
     scale = int(world_size) // render_size  # integer scale (src/main.rs:51)
@@ -50,14 +75,7 @@ def accumulate_pixels(pos: jax.Array, vel: jax.Array, mass: jax.Array,
 
     heavy = mass > jnp.float32(heavy_weight)
     light = ~heavy
-
-    green = (jnp.zeros(npix, jnp.int32)
-             .at[pix].max(heavy.astype(jnp.int32), mode="drop"))
-    count = (jnp.zeros(npix, jnp.int32)
-             .at[pix].add(light.astype(jnp.int32), mode="drop"))
     idx = jnp.arange(n, dtype=jnp.int32)
-    last = (jnp.full(npix, -1, jnp.int32)
-            .at[pix].max(jnp.where(light, idx, -1), mode="drop"))
 
     # Per-particle velocity tint term: 0x10 + min(0xef, sat_u8(speed*10))
     # (src/main.rs:61-63; Rust f32→u8 casts saturate, NaN → 0).
@@ -65,7 +83,27 @@ def accumulate_pixels(pos: jax.Array, vel: jax.Array, mass: jax.Array,
     speed = jnp.where(jnp.isnan(speed), 0.0, speed)
     v8 = jnp.clip(speed, 0.0, 255.0).astype(jnp.int32)
     vterm = jnp.int32(0x10) + jnp.minimum(v8, jnp.int32(0xEF))
-    vlast = jnp.where(last >= 0, vterm[jnp.maximum(last, 0)], 0)
+
+    count = (jnp.zeros(npix, jnp.int32)
+             .at[pix].add(light.astype(jnp.int32), mode="drop"))
+    if pack_tint is None:
+        pack_tint = n < (1 << 22)
+    if pack_tint:
+        if n >= (1 << 22):
+            raise ValueError(f"pack_tint needs idx < 2^22, got N={n}")
+        key = jnp.where(heavy, jnp.int32(1 << 30), idx * 256 + vterm)
+        mx = jnp.full(npix, -1, jnp.int32).at[pix].max(key, mode="drop")
+        green = (mx >= (1 << 30)).astype(jnp.int32)
+        has_light = (mx >= 0) & (mx < (1 << 30))
+        last = jnp.where(has_light, mx // 256, -1)
+        vlast = jnp.where(has_light, mx % 256, 0)
+    else:
+        key = jnp.where(heavy, jnp.int32(1 << 30), idx)
+        mx = jnp.full(npix, -1, jnp.int32).at[pix].max(key, mode="drop")
+        green = (mx >= (1 << 30)).astype(jnp.int32)
+        has_light = (mx >= 0) & (mx < (1 << 30))
+        last = jnp.where(has_light, mx, -1)
+        vlast = jnp.where(has_light, vterm[jnp.maximum(last, 0)], 0)
     return green, count, last, vlast
 
 

@@ -96,3 +96,24 @@ def test_sparse_cap_covers_all_lit_pixels(rng):
     idx, vals = render_frame_sparse(jnp.asarray(pos), jnp.asarray(vel),
                                     jnp.asarray(mass), cap=640)
     np.testing.assert_array_equal(sparse_to_frame(idx, vals), dense)
+
+
+def test_pack_tint_branches_identical(rng):
+    """The packed-key path (idx·256+vterm in one scatter-max) and the
+    big-N gather path (idx key + npix tint gather) are alternative
+    encodings of the SAME reductions — all four per-pixel outputs must be
+    identical, including heavy/light shadowing pixels."""
+    from nbody_simulation_tpu.ops.raster import accumulate_pixels
+
+    n = 4096
+    pos = rng.uniform(0, 100_000, (n, 2)).astype(np.float32)
+    pos[1] = pos[0]  # force a shadowing pixel: heavy + light co-located
+    vel = rng.normal(0, 20, (n, 2)).astype(np.float32)
+    mass = rng.integers(1, 30, n).astype(np.float32)
+    mass[0] = 100.0
+    args = (jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+            100_000.0, 1250, 10.0)
+    a = accumulate_pixels(*args, pack_tint=True)
+    b = accumulate_pixels(*args, pack_tint=False)
+    for x, y, name in zip(a, b, ("green", "count", "last", "vlast")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
