@@ -353,7 +353,7 @@ def _near_geometry(cfg: SimConfig, caps, depth: int):
 
 def _near_bounded(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
                   mp: int, rcp: str, interpret: bool, caps, k0: int,
-                  cut: int):
+                  cut: int, force=None):
     """The bounded (``near_refine_levels``-deep) part of a near stage: a
     cheap walk for ALL rows over the visiting subtree's levels 0..cut
     (never leaf data — plan_rows runs with lcap=0), a flush-to-COM sweep
@@ -392,7 +392,7 @@ def _near_bounded(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
         z = jnp.zeros_like(rec[..., 6])
         for k in range(3, 6):
             cols[k] = jnp.concatenate([cols[k], z], 1)
-    acc = acc + _grouped_force(
+    acc = acc + (force or _grouped_force)(
         tgt, *cols[:3], softening2=cfg.softening2, rcp=rcp,
         interpret=interpret, src_q=tuple(cols[3:]) if mp == 2 else None)
     # valid travels as int8: the request crosses the ICI (ppermute), and
@@ -404,7 +404,8 @@ def _near_bounded(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
 
 
 def _near_deep_serve(tree: FlatTree, request, cfg: SimConfig, mp: int,
-                     rcp: str, interpret: bool, caps, cut: int):
+                     rcp: str, interpret: bool, caps, cut: int,
+                     force=None):
     """Full-depth continuation of a bounded near walk, run against ``tree``
     — which is the subtree the request's frontier indices refer to: the
     requester's ``visiting`` in the same-device case, or the LOCAL tree on
@@ -416,14 +417,14 @@ def _near_deep_serve(tree: FlatTree, request, cfg: SimConfig, mp: int,
         tree, SeamRows(own_min, own_max), cfg.theta, fcap, lcap,
         cfg.tree_arity, multipole=mp,
         seed=(cut, frontier, valid != 0))
-    return _grouped_force(
+    return (force or _grouped_force)(
         tgt_rows, *deep_cols[:3], softening2=cfg.softening2,
         rcp=rcp, interpret=interpret,
         src_q=deep_cols[3:] if mp == 2 else None)
 
 
 def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
-                mp: int, rcp: str, interpret: bool, caps=None):
+                mp: int, rcp: str, interpret: bool, caps=None, force=None):
     """One full-quality visiting-subtree stage, with optional row
     refinement: a cheap ``near_refine_levels``-deep bounded walk runs for
     ALL rows (_near_bounded), then a full-depth continuation for only the
@@ -443,19 +444,20 @@ def _near_stage(acc, visiting: FlatTree, own, tgt, cfg: SimConfig,
     if not refine:
         planned = plan_rows(visiting, own, cfg.theta, fcap, lcap,
                             cfg.tree_arity, multipole=mp)
-        return acc + _grouped_force(
+        return acc + (force or _grouped_force)(
             tgt, *planned[:3], softening2=cfg.softening2, rcp=rcp,
             interpret=interpret, src_q=planned[3:] if mp == 2 else None)
     acc, ids, request = _near_bounded(acc, visiting, own, tgt, cfg, mp,
-                                      rcp, interpret, caps, k0, cut)
+                                      rcp, interpret, caps, k0, cut,
+                                      force=force)
     acc_deep = _near_deep_serve(visiting, request, cfg, mp, rcp,
-                                interpret, caps, cut)
+                                interpret, caps, cut, force=force)
     return acc.at[ids].add(acc_deep)
 
 
 def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                          axis: str = AXIS, config: SimConfig | None = None,
-                         extra_pairs=()) -> jax.Array:
+                         extra_pairs=(), force=None) -> jax.Array:
     """Distributed-BH acceleration for an already-distributed state.
 
     ``pos``/``mass`` are sharded over ``axis`` with each shard locally
@@ -466,6 +468,11 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
     ``extra_pairs``: static seam-stage matchings from ``adjacency_stages``
     (physics-quality forest mode); each runs one additional full near stage
     and the matched subtrees are emptied out of the forest walk.
+
+    ``force``: optional sweep-kernel override with _grouped_force's
+    signature — parallel/bh_distributed_grad.py substitutes the
+    differentiable sweep (ops.traversal_grad.grouped_force_diff) to make
+    this whole staged pipeline a jax.grad-able function.
     """
     cfg = config or SimConfig(force_path="bh")
     n_dev = mesh.shape[axis]
@@ -505,7 +512,7 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
         acc = jnp.zeros((n_leaves // pl_, pl_ * S, 2), jnp.float32)
 
         def sweep(acc, planned):
-            return acc + _grouped_force(
+            return acc + (force or _grouped_force)(
                 tgt, *planned[:3], softening2=cfg.softening2, rcp=rcp,
                 interpret=interpret,
                 src_q=planned[3:] if mp == 2 else None)
@@ -562,11 +569,12 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                     acc_n, ids, req = _near_bounded(
                         jnp.zeros(tgt_n.shape, jnp.float32), vis_top,
                         own_n, tgt_n, cfg, mp, rcp, interpret, ncaps,
-                        k0n, cutn)
+                        k0n, cutn, force=force)
                     req = jax.tree.map(
                         lambda x: jax.lax.ppermute(x, axis, inv), req)
                     served = _near_deep_serve(tree, req, cfg, mp, rcp,
-                                              interpret, ncaps, cutn)
+                                              interpret, ncaps, cutn,
+                                              force=force)
                     acc_back = jax.lax.ppermute(served, axis, sperm)
                     acc_n = acc_n.at[ids].add(acc_back)
                     acc = acc + acc_n.reshape(acc.shape)
@@ -579,7 +587,8 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                         lambda x: jax.lax.ppermute(x, axis, sperm), tree)
                     acc_n = _near_stage(
                         jnp.zeros(tgt_n.shape, jnp.float32), visiting,
-                        own_n, tgt_n, cfg, mp, rcp, interpret, caps=ncaps)
+                        own_n, tgt_n, cfg, mp, rcp, interpret, caps=ncaps,
+                        force=force)
                     acc = acc + acc_n.reshape(acc.shape)
             ftree = _gather_forest(tree, axis, n_dev, cfg.forest_levels,
                                    covered_np=covered_np)
@@ -599,7 +608,7 @@ def bh_distributed_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
             planned = plan_rows(ftree, own_f, cfg.theta, ff, 0,
                                 arity=2, multipole=mp,
                                 max_levels=ftree.depth - k0)
-            acc_f = _grouped_force(
+            acc_f = (force or _grouped_force)(
                 tgt_f, *planned[:3], softening2=cfg.softening2, rcp=rcp,
                 interpret=interpret,
                 src_q=planned[3:] if mp == 2 else None)
