@@ -324,6 +324,150 @@ def allpairs_accel_sym(pos: jax.Array, mass: jax.Array,
     return jnp.stack([ax, ay], axis=1)
 
 
+def _allpairs_sym_pair_kernel(xi_ref, yi_ref, mi_ref, xj_ref, yj_ref, mj_ref,
+                              axi0_ref, ayi0_ref, axj0_ref, ayj0_ref,
+                              axi_ref, ayi_ref, axj_ref, ayj_ref,
+                              softening2: float, rcp: str, nt: int,
+                              kk: int | None, strips: int):
+    """One cross-shard tournament step: LOCAL tile i vs VISITING tile
+    (i+k) mod nt — every unordered (local, visiting) tile pair exactly
+    once, BOTH sides accumulated (Newton's third law across shards).
+
+    The source≠target sibling of ``_allpairs_sym_kernel``: no diagonal
+    (k=0 is a full round — local tile 0 vs visiting tile 0 are different
+    particles), no duplicate-round masking (the i×j rectangle is walked
+    completely in nt rounds), same aliased read-modify-write accumulator
+    hazard analysis (revisit distance ≥ nt−1 ⇒ nt ≥ 4 for the flattened
+    grid; per-round calls otherwise — and always under interpret, which
+    does not emulate aliased RMW across grid steps)."""
+    if kk is None:
+        k = pl.program_id(0)
+        i = pl.program_id(1)
+    else:
+        k = jnp.int32(kk)
+        i = pl.program_id(0)
+    del k  # block index maps consume it; the body is round-independent
+    axi_ref[:] = axi0_ref[:]
+    ayi_ref[:] = ayi0_ref[:]
+    axj_ref[:] = axj0_ref[:]
+    ayj_ref[:] = ayj0_ref[:]
+    ts = xi_ref.shape[0]
+    rs = ts // strips
+    for st in range(strips):
+        sl = slice(st * rs, (st + 1) * rs)
+        dx = xj_ref[:] - xi_ref[sl, :]   # (1,TS) - (rs,1) -> (rs,TS)
+        dy = yj_ref[:] - yi_ref[sl, :]
+        r = _sym_r(dx, dy, softening2, rcp)
+        wi = mj_ref[:] * r
+        axi_ref[sl, :] += jnp.sum(dx * wi, axis=1, keepdims=True)
+        ayi_ref[sl, :] += jnp.sum(dy * wi, axis=1, keepdims=True)
+        wj = mi_ref[sl, :] * r
+        axj_ref[:] -= jnp.sum(dx * wj, axis=0, keepdims=True)
+        ayj_ref[:] -= jnp.sum(dy * wj, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening2", "tile", "interpret", "rcp", "strips"))
+def allpairs_accel_sym_pair(pos_i: jax.Array, mass_i: jax.Array,
+                            pos_j: jax.Array, mass_j: jax.Array,
+                            softening2: float = 1e-3, tile: int = 1024,
+                            interpret: bool = False,
+                            rcp: str = "newton",
+                            strips: int = 4):
+    """Third-law CROSS-shard all-pairs: returns ``(acc_i, acc_j)`` — the
+    acceleration of the i-side particles due to ALL j-side particles, and
+    of the j side due to all of i — with each unordered pair's reciprocal
+    pipeline evaluated ONCE (the symmetric-kernel economics of
+    ``allpairs_accel_sym``, for a source≠target block).
+
+    This is the compute side of the symmetric ring
+    (parallel/ring.ring_allpairs_accel_symring): the j-side partial rides
+    the rotating tile home, halving the visiting-stage pair work at the
+    cost of one extra ring hop. Shapes: both sides (L, 2)/(L,) with the
+    same L, divisible by ``tile``.
+    """
+    n = pos_i.shape[0]
+    assert pos_j.shape[0] == n, (pos_i.shape, pos_j.shape)
+    tile = min(tile, n)
+    if n % tile:
+        raise ValueError(f"N={n} not divisible by tile {tile}")
+    strips = max(1, min(strips, tile // 8))
+    if tile % strips:
+        raise ValueError(f"tile={tile} not divisible by strips {strips}")
+    if rcp not in RCP_MODES:
+        raise ValueError(f"rcp must be one of {RCP_MODES}, got {rcp!r}")
+    if interpret or jax.default_backend() == "cpu":
+        interpret = True
+        rcp = "exact"
+
+    nt = n // tile
+    xi_col, yi_col = pos_i[:, 0:1], pos_i[:, 1:2]
+    mi_col = mass_i.reshape(n, 1)
+    xj_row = pos_j[:, 0].reshape(1, n)
+    yj_row = pos_j[:, 1].reshape(1, n)
+    mj_row = mass_j.reshape(1, n)
+    acc = (xi_col * jnp.float32(0.0), yi_col * jnp.float32(0.0),
+           xj_row * jnp.float32(0.0), yj_row * jnp.float32(0.0))
+    out_shape = [
+        jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+    ]
+
+    def specs(kk):
+        def jmap(k, i):
+            jj = i + k
+            return jnp.where(jj >= nt, jj - nt, jj)
+        if kk is None:
+            col = pl.BlockSpec((tile, 1), lambda k, i: (i, 0),
+                               memory_space=pltpu.VMEM)
+            row = pl.BlockSpec((1, tile), lambda k, i: (0, jmap(k, i)),
+                               memory_space=pltpu.VMEM)
+        else:
+            col = pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+            row = pl.BlockSpec((1, tile), lambda i: (0, jmap(kk, i)),
+                               memory_space=pltpu.VMEM)
+        return ([col, col, col, row, row, row, col, col, row, row],
+                [col, col, row, row])
+
+    def call(kk, grid, acc):
+        kernel = functools.partial(
+            _allpairs_sym_pair_kernel, softening2=softening2, rcp=rcp,
+            nt=nt, kk=kk, strips=strips)
+        in_specs, out_specs = specs(kk)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * len(grid),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(FLOPS_PER_PAIR * n * n) // (1 if kk is None else nt),
+                bytes_accessed=10 * n * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(xi_col, yi_col, mi_col, xj_row, yj_row, mj_row, *acc)
+
+    if interpret or nt < 4:
+        for kk in range(nt):
+            acc = call(kk, (nt,), acc)
+        axi, ayi, axj, ayj = acc
+    else:
+        axi, ayi, axj, ayj = call(None, (nt, nt), acc)
+
+    acc_i = jnp.stack([axi[:, 0], ayi[:, 0]], axis=1)
+    acc_j = jnp.stack([axj[0, :], ayj[0, :]], axis=1)
+    return acc_i, acc_j
+
+
 def _allpairs_kernel(xi_ref, yi_ref, xj_ref, yj_ref, mj_ref,
                      ax_ref, ay_ref, softening2: float, rcp: str):
     @pl.when(pl.program_id(1) == 0)

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from nbody_simulation_tpu.ops.allpairs import allpairs_accel, allpairs_accel_sym
+from nbody_simulation_tpu.ops.allpairs import (allpairs_accel,
+                                               allpairs_accel_sym,
+                                               allpairs_accel_sym_pair)
 from nbody_simulation_tpu.parallel.mesh import AXIS
 
 
@@ -65,6 +67,72 @@ def ring_allpairs_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
         return acc
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes info.
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis)),
+                      out_specs=P(axis, None), check_vma=False)
+    return f(pos, mass)
+
+
+def ring_allpairs_accel_symring(pos: jax.Array, mass: jax.Array, mesh: Mesh,
+                                axis: str = AXIS, softening2: float = 1e-3,
+                                rcp: str = "newton",
+                                sym_tile: int = 1024) -> jax.Array:
+    """Fully symmetric ring: Newton's third law ACROSS shards.
+
+    ``ring_allpairs_accel`` symmetrizes only the k=0 self stage; at the
+    flagship mesh (P=16) the visiting stages are 15/16 of the pair work.
+    This variant forward-ports the cotangent ring-circuit dataflow of
+    parallel/ring_grad._bwd to the force pass (round-4 verdict item 5):
+
+    - rounds k=1..⌈(P−1)/2⌉: the rotating (pos, mass, PARTIAL-ACCEL)
+      tuple arrives from shard i−k; the symmetric pair kernel
+      (ops/allpairs.allpairs_accel_sym_pair) evaluates each unordered
+      cross-shard pair ONCE, accumulating the local side in place and the
+      visiting side onto the tuple's accel — which rides the ring home;
+    - for even P the last round is a HALF round (pairs (i, i+P/2) would
+      otherwise be computed twice): shards i ≥ P/2 zero their
+      contributions (SPMD runs the kernel everywhere regardless);
+    - one closing ppermute of distance K returns every partial to its
+      owner (the same "accumulator completes the circuit" step as
+      ring_grad._bwd:88-90).
+
+    Pair-block count per shard: ⌈(P−1)/2⌉ symmetric blocks vs P−1 ordered
+    blocks — each block shared between two shards' outputs. Same result
+    as ``ring_allpairs_accel`` up to fp32 summation order.
+    """
+    n_dev = mesh.shape[axis]
+    if n_dev == 1:
+        return ring_allpairs_accel(pos, mass, mesh, axis=axis,
+                                   softening2=softening2, rcp=rcp,
+                                   sym_tile=sym_tile)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    K = n_dev // 2 if n_dev % 2 == 0 else (n_dev - 1) // 2
+    half_last = n_dev % 2 == 0
+    home = [(i, (i - K) % n_dev) for i in range(n_dev)]
+
+    def local(pos_l, mass_l):
+        acc = allpairs_accel_sym(pos_l, mass_l, softening2=softening2,
+                                 tile=sym_tile, rcp=rcp)
+        vis_pos, vis_mass = pos_l, mass_l
+        vis_acc = pos_l * jnp.float32(0.0)
+        my = jax.lax.axis_index(axis)
+        for k in range(1, K + 1):
+            vis_pos = jax.lax.ppermute(vis_pos, axis, perm)
+            vis_mass = jax.lax.ppermute(vis_mass, axis, perm)
+            vis_acc = jax.lax.ppermute(vis_acc, axis, perm)
+            ai, aj = allpairs_accel_sym_pair(
+                pos_l, mass_l, vis_pos, vis_mass,
+                softening2=softening2, tile=sym_tile, rcp=rcp)
+            if half_last and k == K:
+                gate = jnp.where(my < jnp.int32(K), jnp.float32(1.0),
+                                 jnp.float32(0.0))
+                ai = ai * gate
+                aj = aj * gate
+            acc = acc + ai
+            vis_acc = vis_acc + aj
+        vis_acc = jax.lax.ppermute(vis_acc, axis, home)
+        return acc + vis_acc
+
     f = jax.shard_map(local, mesh=mesh,
                       in_specs=(P(axis, None), P(axis)),
                       out_specs=P(axis, None), check_vma=False)
