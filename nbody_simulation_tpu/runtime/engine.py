@@ -127,6 +127,11 @@ class Engine:
         self._step_once = threading.Event()
         self._pending_cfg: dict = {}
         self._cfg_lock = threading.Lock()
+        # Optional cross-process control hook (runtime/control.ControlBus
+        # .poll): called once per loop iteration on the producer thread —
+        # the ONE place controls may be applied collectively. None on
+        # single-process runs (controls apply directly, no collective).
+        self.control_poll = None
 
     # -- interactive control ----------------------------------------------------
     def pause(self) -> None:
@@ -217,6 +222,14 @@ class Engine:
             while not self._stop.is_set():
                 if max_steps is not None and self.world.updates >= max_steps:
                     break
+                if self.control_poll is not None:
+                    # Collective on multi-process runs: every process calls
+                    # it at the same iteration index (lockstep is preserved
+                    # because every divergence-capable state change comes
+                    # out of this very call).
+                    self.control_poll(self)
+                    if self._stop.is_set():
+                        break
                 with self._cfg_lock:
                     pending, self._pending_cfg = self._pending_cfg, {}
                 if pending:

@@ -19,12 +19,12 @@ deployment the interactive surface is a browser: a stdlib HTTP server serves
 A consumer thread pops snapshots from the engine queue at its own pace —
 exactly the render thread's role — and keeps only the latest.
 
-``read_only=True`` (multi-process runs, run_multihost.py): the frame/stats
-surface stays up — the reference's window is always available
-(src/main.rs:143-184) and the distributed snapshot render is a
-deterministic collective every process joins — but ``/control`` returns
-409: controls reaching only process 0's engine while the others keep
-issuing the original step collectives would desynchronize the mesh.
+Multi-process runs (run_multihost.py) attach a ``ControlBus``
+(runtime/control.py): ``/control`` submits intent and every process applies
+it collectively at the same step barrier — the viewer is fully interactive
+on a pod, like the reference's always-interactive window
+(src/main.rs:143-184). ``read_only=True`` remains for explicitly watch-only
+surfaces: frames/stats stay live, ``/control`` returns 409.
 """
 
 from __future__ import annotations
@@ -96,9 +96,15 @@ class ViewerServer:
 
     def __init__(self, engine: Engine, port: int = 8000,
                  host: str = "127.0.0.1", energy_meter=None,
-                 read_only: bool = False):
+                 read_only: bool = False, control_bus=None):
         self.engine = engine
         self.read_only = read_only
+        # Multi-process control path (runtime/control.ControlBus): /control
+        # submits INTENT to the bus; every process's producer thread applies
+        # it collectively at the same step barrier. With a bus attached the
+        # viewer is fully interactive on a pod — read_only remains for
+        # explicitly watch-only surfaces.
+        self.control_bus = control_bus
         # Explicit handoff beats introspecting engine.on_batch: the hook is
         # often a composite lambda (run_multihost wraps callbacks), which
         # would hide the meter from /stats.
@@ -207,20 +213,11 @@ class ViewerServer:
 
     def _control(self, q: dict) -> None:
         """Apply a /control request — the reference's window input
-        (src/main.rs:168-182), plus live θ/dt tuning it never had."""
-        for cmd in q.get("cmd", []):
-            if cmd == "pause":
-                self.engine.pause()
-            elif cmd == "resume":
-                self.engine.resume()
-            elif cmd == "toggle":
-                (self.engine.resume if self.engine.paused
-                 else self.engine.pause)()
-            elif cmd == "step":
-                self.engine.step_once()
-            elif cmd == "quit":
-                self.quit_requested.set()
-                self.engine._stop.set()
+        (src/main.rs:168-182), plus live θ/dt tuning it never had.
+
+        With a ControlBus attached (multi-process runs) nothing touches the
+        engine here: commands and validated changes are SUBMITTED and every
+        process applies them at the same step barrier."""
         changes = {}
         # Validate before touching the running sim: a malformed or
         # non-finite value from this unauthenticated endpoint must not
@@ -249,6 +246,28 @@ class ViewerServer:
                 rs = 0
             if 64 <= rs <= 4096:
                 changes["render_size"] = rs
+        cmds = [c for c in q.get("cmd", [])
+                if c in ("pause", "resume", "toggle", "step", "quit")]
+        if "quit" in cmds:
+            self.quit_requested.set()
+        if self.control_bus is not None:
+            for cmd in cmds:
+                self.control_bus.submit(cmd)
+            if changes:
+                self.control_bus.submit(**changes)
+            return
+        for cmd in cmds:
+            if cmd == "pause":
+                self.engine.pause()
+            elif cmd == "resume":
+                self.engine.resume()
+            elif cmd == "toggle":
+                (self.engine.resume if self.engine.paused
+                 else self.engine.pause)()
+            elif cmd == "step":
+                self.engine.step_once()
+            elif cmd == "quit":
+                self.engine._stop.set()
         if changes:
             self.engine.reconfigure(**changes)
 

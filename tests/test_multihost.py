@@ -198,63 +198,86 @@ def test_galaxy_exact_chunks_bitwise_invariant():
 
 
 @pytest.mark.slow
-def test_two_process_readonly_viewer(tmp_path):
-    """--serve on a multi-process run: process 0 serves frames/stats
-    (the snapshot render is a deterministic collective, so watching is
-    safe), /control returns 409 (controls cannot be broadcast), and the
-    run completes cleanly with the viewer attached."""
+def test_viewer_controls_broadcast_two_process():
+    """--serve on a multi-process run is fully INTERACTIVE (round-4 verdict
+    item 7): /control submits to the ControlBus and every process applies
+    the change collectively at the same step barrier (runtime/control.py).
+    Drives pause + theta change + resume + quit through the viewer over a
+    REAL 2-process Gloo mesh; clean exit of BOTH processes is the lockstep
+    proof — a process that missed or misordered any control would diverge
+    on the collectives and hang."""
+    import json
     import time
     import urllib.error
     import urllib.request
 
     port = _free_port()
     vport = _free_port()
-    extra = ("--serve", str(vport), "--snapshot-every", "1")
-    p1 = _launch(1, 2, port, extra=("--snapshot-every", "1"))
-    p0 = _launch(0, 2, port, extra=extra)
+    # steps large enough that only quit ends the run; a small framebuffer
+    # keeps the per-batch npix merge collectives + PNG encode cheap on the
+    # 1-core CI host (the render path is covered at full size elsewhere).
+    base = ("--snapshot-every", "1", "--steps", "100000",
+            "--render-size", "256", "--n", "1024")
+    p1 = _launch(1, 2, port, extra=base)
+    p0 = _launch(0, 2, port, extra=base + ("--serve", str(vport)))
+
+    def get(path, timeout=5):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{vport}{path}", timeout=timeout) as r:
+            return r.read()
+
     try:
-        # Wait for the viewer to come up (compiles happen first).
-        deadline = time.monotonic() + 600
+        # Wait for the viewer + first stepped snapshot (compiles first;
+        # two concurrent jax processes compile serially on the 1-core host).
+        deadline = time.monotonic() + 1500
         stats = None
         while time.monotonic() < deadline and p0.poll() is None:
             try:
-                with urllib.request.urlopen(
-                        f"http://127.0.0.1:{vport}/stats", timeout=2) as r:
-                    import json as _json
-                    stats = _json.loads(r.read())
+                stats = json.loads(get("/stats"))
+                if stats["step"] > 0:
                     break
             except (urllib.error.URLError, ConnectionError, OSError):
-                time.sleep(0.5)
-        assert stats is not None, "viewer never came up"
+                pass
+            time.sleep(0.5)
+        assert stats is not None and stats["step"] > 0, stats
 
-        # Controls are refused with 409 — and the run must keep stepping.
-        try:
-            urllib.request.urlopen(
-                f"http://127.0.0.1:{vport}/control?cmd=pause", timeout=5)
-            raise AssertionError("control must return 409 on multi-process")
-        except urllib.error.HTTPError as e:
-            assert e.code == 409
-            assert b"read-only" in e.read()
+        # The page advertises controls (not the read-only banner).
+        assert b"read-only" not in get("/")
 
-        # The page advertises read-only; the frame endpoint serves a PNG
-        # once the first collective snapshot lands.
-        with urllib.request.urlopen(
-                f"http://127.0.0.1:{vport}/", timeout=5) as r:
-            assert b"read-only" in r.read()
-        png = b""
-        while time.monotonic() < deadline and p0.poll() is None:
-            try:
-                with urllib.request.urlopen(
-                        f"http://127.0.0.1:{vport}/frame.png", timeout=5) as r:
-                    png = r.read()
-            except (urllib.error.URLError, ConnectionError, OSError):
-                break   # run (and viewer) ended between polls — fine
-            if png:
+        # Pause: both engines stop at the same barrier; the step counter
+        # freezes (poll /stats until paused shows, then hold).
+        assert get("/control?cmd=pause") == b'{"ok": true}'
+        while time.monotonic() < deadline:
+            stats = json.loads(get("/stats"))
+            if stats["paused"]:
+                break
+            time.sleep(0.2)
+        assert stats["paused"], stats
+        s0 = json.loads(get("/stats"))["step"]
+        time.sleep(1.0)
+        assert json.loads(get("/stats"))["step"] == s0
+
+        # theta retune applies while paused (the poll loop keeps spinning).
+        get("/control?theta=0.5")
+        while time.monotonic() < deadline:
+            stats = json.loads(get("/stats"))
+            if stats["theta"] == 0.5:
+                break
+            time.sleep(0.2)
+        assert stats["theta"] == 0.5, stats
+
+        # Resume: stepping restarts under the NEW theta on both processes
+        # (a one-sided theta would change the collective pattern and hang).
+        get("/control?cmd=resume")
+        while time.monotonic() < deadline:
+            stats = json.loads(get("/stats"))
+            if not stats["paused"] and stats["step"] > s0:
                 break
             time.sleep(0.5)
-        if png:   # the run may finish before a frame is popped — stats
-            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert stats["step"] > s0, stats
 
+        # Quit through the viewer ends BOTH processes cleanly.
+        get("/control?cmd=quit")
         out0, _ = p0.communicate(timeout=900)
         out1, _ = p1.communicate(timeout=120)
     finally:
@@ -263,5 +286,5 @@ def test_two_process_readonly_viewer(tmp_path):
                 p.kill()
     assert p0.returncode == 0, out0
     assert p1.returncode == 0, out1
-    assert "viewer: http://127.0.0.1" in out0 and "(read-only" in out0, out0
+    assert "(controls broadcast to all processes)" in out0, out0
     assert [l for l in out0.splitlines() if l.startswith("done:")], out0

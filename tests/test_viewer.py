@@ -94,3 +94,34 @@ def test_viewer_controls_and_stream():
     engine.join(timeout=30)
     assert not engine._thread.is_alive()
     viewer.stop()
+
+
+def test_viewer_read_only_refuses_controls():
+    """read_only=True (explicitly watch-only surfaces): frames/stats serve,
+    /control returns 409 with the explanation, the page shows the banner."""
+    import time
+    import urllib.error
+
+    cfg = SimConfig(force_path="direct", render_size=64)
+    world = World(uniform_disc(256, seed=1), cfg)
+    engine = Engine(world, snapshot_interval=0.0)
+    viewer = ViewerServer(engine, port=0, read_only=True)
+    viewer.start()
+    engine.start(max_steps=10)
+    try:
+        base = f"http://127.0.0.1:{viewer.port}"
+        try:
+            urllib.request.urlopen(f"{base}/control?cmd=pause", timeout=10)
+            raise AssertionError("read_only /control must 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+            assert b"read-only" in e.read()
+        assert not engine.paused
+        assert b"read-only" in urllib.request.urlopen(base, timeout=10).read()
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats",
+                                                  timeout=10).read())
+        assert "step" in stats
+        engine.join(timeout=120)
+    finally:
+        engine._stop.set()
+        viewer.stop()
