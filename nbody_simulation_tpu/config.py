@@ -183,6 +183,18 @@ class SimConfig:
     # p90 0.348 vs 0.979; tests/test_ref_walk.py gates this).
     plan_leaves: int = 4
 
+    # Occupancy-bucketed force sweep (ops/traversal._grouped_force_bucketed):
+    # (block_frac, col_frac) — sort 128-group blocks by max last-nonzero
+    # source column and sweep the sparse tail blocks with a col_frac-narrow
+    # static tile (two pallas_calls; lax.cond falls back to the full sweep
+    # whenever the data exceeds the static budgets, so quality is
+    # unaffected). Pays on occupancy-skewed scenes (galaxy: 46% of columns
+    # past the per-row last nonzero — (0.625, 0.125) measured 1.15×,
+    # 408.8 → 469.0 ups, docs/PERFORMANCE.md round 5); the uniform disc
+    # triggers the fallback every step (0.972× guard overhead). None = off
+    # (the single full-width sweep) — the right default for dense scenes.
+    sweep_buckets: tuple | None = None
+
     # Distributed-BH (parallel/bh_distributed.py) capacities for visiting
     # subtrees that are ring-FAR (neither the local stage nor a ring
     # neighbor): those are almost always accepted near their root, so small

@@ -125,7 +125,8 @@ class World:
                                    arity=config.tree_arity,
                                    plan_leaves=config.plan_leaves,
                                    multipole=config.resolved_multipole(),
-                                   rcp=config.resolved_rcp(bh=True))[:n]
+                                   rcp=config.resolved_rcp(bh=True),
+                                   sweep_buckets=config.sweep_buckets)[:n]
 
         import numpy as _np
         fdt = _np.float32(dt)  # host constant: device constants in closures

@@ -651,15 +651,145 @@ def _grouped_force(tgt_pos: jax.Array, src_x, src_y, src_m,
     return jnp.stack([ax.T, ay.T], axis=-1)[:g]  # (G, S, 2)
 
 
+def _grouped_force_bucketed(tgt_pos, src_x, src_y, src_m,
+                            softening2: float, rcp: str, interpret: bool,
+                            src_q=None,
+                            block_frac: float = 0.5,
+                            col_frac: float = 0.5) -> jax.Array:
+    """Occupancy-bucketed grouped sweep: plan-time work elision.
+
+    The planner's per-group source rows have data-dependent trailing zeros
+    (galaxy shapes: 46% of columns lie past the per-row last nonzero,
+    benchmarks/probe_lastnz.py) and the sweep pays full C for all of them.
+    In-kernel skipping is a measured dead end at block AND row granularity
+    (conditional chunk boundaries break Mosaic's pipelining; j-tiling
+    multiplies the lane-extract overhead — docs/STATUS.md dead ends). This
+    variant moves the branching to PLAN time instead:
+
+    - compute each 128-group block's max last-nonzero column (``block_u``),
+    - order blocks by it (descending) — a B-element argsort, B = G/128,
+    - issue TWO pallas_calls with STATIC shapes: the top ``block_frac`` of
+      blocks sweep the full C, the rest sweep only the first
+      ``col_frac``·C columns — each call remains a single full-width
+      j-tile, so the per-sub lane-extract overhead is UNCHANGED (the exact
+      overhead that killed the in-kernel variants),
+    - block indirection rides scalar-prefetch index maps (no materialized
+      permutation; the DMAs gather the right blocks directly),
+    - a ``lax.cond`` guards soundness: if any low-bucket block's occupancy
+      exceeds its static budget (e.g. the uniform disc, where every block
+      holds a full row), the step falls back to the one-call full sweep —
+      approximation quality is NEVER data-dependent, only speed is.
+
+    Anchor: the leaf exact-loop economics of reference src/main.rs:355-362
+    — the reference's recursion naturally does less work for particles
+    whose walk terminates early; this recovers that economy for the dense
+    bucketed sweep (round-4 verdict item 6).
+    """
+    if rcp not in RCP_MODES:
+        raise ValueError(f"rcp must be one of {RCP_MODES}, got {rcp!r}")
+    g, s, _ = tgt_pos.shape
+    c = src_x.shape[1]
+    srcs = [src_x, src_y, src_m] + (list(src_q) if src_q is not None else [])
+
+    def ceil_to(x, m):
+        return -(-x // m) * m
+
+    gb = min(128, g)
+    g_pad = ceil_to(g, gb)
+    c_pad = ceil_to(c, 128)
+    n_blocks = g_pad // gb
+    # Single-j-tile regime only (galaxy/flagship θ≥2 shapes): the area and
+    # VMEM caps of _grouped_force must admit C as ONE tile, and there must
+    # be enough blocks to bucket. Everything else → the plain sweep.
+    area = (1 << 16) if src_q is not None else (1 << 19)
+    t_live = 8 if src_q is not None else 4
+    per_tj = 2 * len(srcs) * gb * 4 + t_live * s * 4
+    vmem_cap = max(128, ((15 << 20) - 4 * s * gb * 4) // per_tj // 128 * 128)
+    c2 = max(128, int(ceil_to(int(c_pad * col_frac), 128)))
+    if (n_blocks < 4 or gb < 128
+            or c_pad > min(max(128, (area // s) // 128 * 128), vmem_cap)
+            or c2 >= c_pad):
+        return _grouped_force(tgt_pos, src_x, src_y, src_m,
+                              softening2=softening2, rcp=rcp,
+                              interpret=interpret, src_q=src_q)
+    b1 = min(n_blocks - 1, max(1, int(round(n_blocks * block_frac))))
+
+    if g_pad != g:
+        zt = jnp.zeros((g_pad - g, s, 2), jnp.float32)
+        tgt_pos = jnp.concatenate([tgt_pos, zt], 0)
+        zs = jnp.zeros((g_pad - g, c), jnp.float32)
+        srcs = [jnp.concatenate([a, zs], 0) for a in srcs]
+    if c_pad != c:
+        z = jnp.zeros((g_pad, c_pad - c), jnp.float32)
+        srcs = [jnp.concatenate([a, z], 1) for a in srcs]
+
+    # Per-block occupancy: max last-nonzero source column over the block.
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (g_pad, c_pad), 1) + 1
+    u = jnp.max(jnp.where(srcs[2] != 0, cols1, 0), axis=1)       # (G,)
+    block_u = jnp.max(u.reshape(n_blocks, gb), axis=1)           # (B,)
+    order = jnp.argsort(-block_u).astype(jnp.int32)
+    inv = jnp.argsort(order)
+    ok = block_u[order[b1]] <= jnp.int32(c2)
+
+    tgt_t = jnp.transpose(tgt_pos, (1, 0, 2))
+    x_cols, y_cols = tgt_t[..., 0], tgt_t[..., 1]
+
+    def run_bucket(ids, cb):
+        nb = ids.shape[0]
+
+        def kernel(ids_ref, *refs):  # leading scalar-prefetch ref unused
+            _sweep_kernel(*refs, softening2=softening2, rcp=rcp,
+                          n_sub=gb, quad=src_q is not None)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, 1),
+            in_specs=([pl.BlockSpec((s, gb), lambda i, j, ids: (0, ids[i]),
+                                    memory_space=pltpu.VMEM)] * 2
+                      + [pl.BlockSpec((gb, cb), lambda i, j, ids: (ids[i], 0),
+                                      memory_space=pltpu.VMEM)] * len(srcs)),
+            out_specs=[pl.BlockSpec((s, gb), lambda i, j, ids: (0, i),
+                                    memory_space=pltpu.VMEM)] * 2,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((s, nb * gb), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(ids, x_cols, y_cols, *srcs)
+
+    def bucketed():
+        ax1, ay1 = run_bucket(order[:b1], c_pad)
+        ax2, ay2 = run_bucket(order[b1:], c2)
+        ax = jnp.concatenate([ax1, ax2], axis=1)
+        ay = jnp.concatenate([ay1, ay2], axis=1)
+        # Un-permute at block granularity (gather of B lane blocks).
+        def unperm(a):
+            return (a.reshape(s, n_blocks, gb)[:, inv, :]
+                    .reshape(s, g_pad))
+        return jnp.stack([unperm(ax).T, unperm(ay).T], axis=-1)[:g]
+
+    def full():
+        return _grouped_force(tgt_pos[:g], src_x, src_y, src_m,
+                              softening2=softening2, rcp=rcp,
+                              interpret=interpret, src_q=src_q)
+
+    return jax.lax.cond(ok, bucketed, full)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("theta", "softening2", "frontier_cap",
                                     "leaf_cap", "interpret", "arity",
-                                    "plan_leaves", "multipole", "rcp"))
+                                    "plan_leaves", "multipole", "rcp",
+                                    "sweep_buckets"))
 def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
                     softening2: float = 1e-3, frontier_cap: int = 32,
                     leaf_cap: int = 16, interpret: bool = False,
                     arity: int = 2, plan_leaves: int = 1,
-                    multipole: int = 1, rcp: str | None = None) -> jax.Array:
+                    multipole: int = 1, rcp: str | None = None,
+                    sweep_buckets: tuple | None = None) -> jax.Array:
     """Accelerations for all (sorted, padded) particles in the tree.
 
     Returns f32[n_leaves*leaf_size, 2] in sorted order. ``multipole=2``
@@ -683,9 +813,18 @@ def bh_accel_sorted(tree: FlatTree, theta: float = 50.0,
     src_x, src_y, src_m = planned[:3]
     src_q = planned[3:] if multipole == 2 else None
     tgt = tree.leaf_pos.reshape(n_leaves // pl_, pl_ * S, 2)
-    acc = _grouped_force(tgt, src_x, src_y, src_m,
-                         softening2=softening2, rcp=rcp,
-                         interpret=interpret, src_q=src_q)
+    if sweep_buckets is not None:
+        # Occupancy-bucketed sweep (sound: lax.cond falls back to the full
+        # sweep whenever the static budgets don't hold the data).
+        bf, cf = sweep_buckets
+        acc = _grouped_force_bucketed(tgt, src_x, src_y, src_m,
+                                      softening2=softening2, rcp=rcp,
+                                      interpret=interpret, src_q=src_q,
+                                      block_frac=bf, col_frac=cf)
+    else:
+        acc = _grouped_force(tgt, src_x, src_y, src_m,
+                             softening2=softening2, rcp=rcp,
+                             interpret=interpret, src_q=src_q)
     return acc.reshape(n_leaves * S, 2)
 
 
@@ -696,7 +835,8 @@ def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
              arity: int = 2,
              plan_leaves: int = 1, morton_bits: int | None = None,
              multipole: int | None = None, rcp: str | None = None,
-             group_chunk: int | None = None) -> jax.Array:
+             group_chunk: int | None = None,
+             sweep_buckets: tuple | None = None) -> jax.Array:
     """Full Barnes-Hut acceleration: sort + build + plan + sweep + unsort.
 
     Returns accelerations in the ORIGINAL particle order. ``group_chunk`` is
@@ -724,7 +864,8 @@ def bh_accel(pos: jax.Array, mass: jax.Array, *, theta: float = 50.0,
     acc_sorted = bh_accel_sorted(tree, theta=theta, softening2=softening2,
                                  frontier_cap=frontier_cap, leaf_cap=leaf_cap,
                                  arity=arity, plan_leaves=plan_leaves,
-                                 multipole=multipole, rcp=rcp)
+                                 multipole=multipole, rcp=rcp,
+                                 sweep_buckets=sweep_buckets)
     return jnp.zeros((n, 2), jnp.float32).at[order].set(acc_sorted[:n])
 
 
@@ -739,4 +880,5 @@ def bh_accel_fn(config):
         arity=config.tree_arity, plan_leaves=config.plan_leaves,
         morton_bits=config.resolved_morton_bits(),
         multipole=config.resolved_multipole(),
-        rcp=config.resolved_rcp(bh=True))
+        rcp=config.resolved_rcp(bh=True),
+        sweep_buckets=config.sweep_buckets)

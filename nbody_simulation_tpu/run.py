@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's NaN-freeze guard for ~3.5%% BH / "
                         "8%% all-pairs speed — bitwise-identical forces "
                         "on finite states")
+    p.add_argument("--sweep-buckets", default="auto",
+                   help="occupancy-bucketed BH sweep budgets 'BF,CF' "
+                        "(block_frac,col_frac), 'off', or 'auto' (default): "
+                        "auto enables the measured (0.625,0.125) budgets on "
+                        "the galaxy scenario (+15%% ups, bitwise-identical "
+                        "forces — a lax.cond guard falls back to the full "
+                        "sweep whenever the data exceeds the static "
+                        "budgets) and disables elsewhere (the uniform disc "
+                        "always falls back, paying ~3%% guard overhead)")
     p.add_argument("--leaf-size", type=int, default=64)
     p.add_argument("--world-size", type=float, default=100_000.0)
     p.add_argument("--render-size", type=int, default=1250)
@@ -105,11 +114,21 @@ def main(argv=None) -> int:
     from nbody_simulation_tpu.utils.recording import Recorder
     from nbody_simulation_tpu.utils.telemetry import RateMeter
 
+    if args.sweep_buckets == "auto":
+        buckets = ((0.625, 0.125)
+                   if args.scenario == "galaxy" and args.force_path == "bh"
+                   else None)
+    elif args.sweep_buckets == "off":
+        buckets = None
+    else:
+        bf, cf = (float(v) for v in args.sweep_buckets.split(","))
+        buckets = (bf, cf)
+
     cfg = SimConfig(force_path=args.force_path, theta=args.theta, dt=args.dt,
                     leaf_size=args.leaf_size, world_size=args.world_size,
                     render_size=args.render_size, integrator=args.integrator,
                     unweighted_leaf_com=not args.weighted_leaf_com,
-                    rcp=args.rcp)
+                    rcp=args.rcp, sweep_buckets=buckets)
 
     start_step = 0
     if args.resume:
