@@ -46,13 +46,76 @@ def emit(config, metric, value, unit, **extra):
 
 
 def config0():
+    import numpy as np_
     from nbody_simulation_tpu.config import SimConfig
     from nbody_simulation_tpu.models import World, galaxy
-    w = World(galaxy(seed=0), SimConfig(force_path="bh", **_rcp_kw()))
+    from nbody_simulation_tpu.ops.raster import render_frame_sparse, sparse_to_frame
+    # sweep_buckets: measured winner on the galaxy's occupancy skew —
+    # 408.8 → 469.0 ups (1.15×), bitwise-identical forces
+    # (benchmarks/probe_bucket_sweep.py, 2026-08-20).
+    cfg = SimConfig(force_path="bh", sweep_buckets=(0.625, 0.125),
+                    **_rcp_kw())
+    w = World(galaxy(seed=0), cfg)
     w.run(17); sync(w.state)   # ≥ resort_every+1: warm BOTH step variants
-    t0 = time.perf_counter(); w.run(64); sync(w.state)
-    dt = (time.perf_counter() - t0) / 64
+    # 256-step window: at ~2 ms device steps a 64-step window is inside
+    # the axon tunnel's dispatch-jitter band (measured 242-450 ups for
+    # identical code, 2026-08-20); 256 amortizes it.
+    t0 = time.perf_counter(); w.run(256); sync(w.state)
+    dt = (time.perf_counter() - t0) / 256
     emit(0, "reference galaxy (151k, theta=50) ups", 1 / dt, "steps/s")
+    # The reference's loop is sim + draw + present (src/main.rs:41-72,
+    # 143-162) with fps decoupled from ups by the lossy frame channel.
+    # This row renders EVERY step (fps == ups — the worst case the lossy
+    # queue protects against) including the sparse host readback the
+    # engine's snapshot pipeline performs, so the number is the full
+    # per-step loop cost, not the step body alone (round-4 verdict item 1).
+    cap = 1 << int(np_.ceil(np_.log2(w.state.n)))
+
+    def step_render():
+        w.run(1)
+        idx, vals = render_frame_sparse(
+            w.state.pos, w.state.vel, w.state.mass, cap,
+            world_size=cfg.world_size, render_size=cfg.render_size,
+            heavy_weight=cfg.heavy_weight)
+        return sparse_to_frame(idx, vals, cfg.render_size)
+
+    for _ in range(3):
+        step_render()
+    t0 = time.perf_counter()
+    for _ in range(32):
+        frame = step_render()
+    dt_r = (time.perf_counter() - t0) / 32
+    assert frame.shape == (cfg.render_size, cfg.render_size, 4)
+    emit(0, "reference galaxy ups incl. per-step render + host readback",
+         1 / dt_r, "steps/s", render_ms=round((dt_r - dt) * 1e3, 2))
+    # Companion: sim + draw with the frame LEFT ON DEVICE (the readback
+    # above is ~2 MB/frame over the axon tunnel — a per-frame cost a real
+    # TPU host pays over PCIe at ~100× the bandwidth; this row is the
+    # device-side render loop cost, steps and draws dispatched
+    # back-to-back, ONE closing sync).
+    import jax as _jax
+    from nbody_simulation_tpu.ops.raster import (accumulate_pixels,
+                                                 colorize_pixels)
+
+    @_jax.jit
+    def draw(pos, vel, mass):
+        g, c, _, vl = accumulate_pixels(pos, vel, mass, cfg.world_size,
+                                        cfg.render_size, cfg.heavy_weight)
+        return colorize_pixels(g, c, vl, cfg.render_size)
+
+    for _ in range(3):
+        w.run(1)
+        fr = draw(w.state.pos, w.state.vel, w.state.mass)
+    sync(w.state); sync(fr.astype(np_.float32))
+    t0 = time.perf_counter()
+    for _ in range(128):
+        w.run(1)
+        fr = draw(w.state.pos, w.state.vel, w.state.mass)
+    sync(w.state); sync(fr.astype(np_.float32))
+    dt_d = (time.perf_counter() - t0) / 128
+    emit(0, "reference galaxy ups incl. per-step on-device render "
+            "(frame resident; draw cost = render_ms)",
+         1 / dt_d, "steps/s", render_ms=round((dt_d - dt) * 1e3, 2))
 
 
 def config6():
@@ -202,7 +265,7 @@ def config5():
     mbits = cfg.resolved_morton_bits()
     fdt = np.float32(cfg.dt)
 
-    def step_body(pos, vel, mass, resort):
+    def step_body(pos, vel, mass, resort, render=False):
         if resort:
             pos, vel, mass = morton_sort_state(pos, vel, mass,
                                                cfg.world_size, bits=mbits)
@@ -241,6 +304,20 @@ def config5():
         accp = acc.reshape(n_leaves * S, 2)[:pos.shape[0]]
         vel = vel + accp * fdt
         pos = pos + vel * fdt
+        if render:
+            # The per-chip render stage (the reference's draw loop,
+            # src/main.rs:41-72, run on-device): local partial raster +
+            # colorize of the shard. The real P-chip program additionally
+            # merges the 4 npix buffers over ICI (pmax/psum,
+            # parallel/raster.py) — that wire time is added to the
+            # adversarial bound below, not measurable on one chip.
+            from nbody_simulation_tpu.ops.raster import (accumulate_pixels,
+                                                         colorize_pixels)
+            green, count, _, vlast = accumulate_pixels(
+                pos, vel, mass, cfg.world_size, cfg.render_size,
+                cfg.heavy_weight)
+            frame = colorize_pixels(green, count, vlast, cfg.render_size)
+            return pos, vel, mass, frame
         return pos, vel, mass
 
     def time_steps(step_r, step_s, pva):
@@ -358,6 +435,66 @@ def config5():
          payload_mb=round(payload / 1e6, 1),
          t_ici_ms=round(t_ici * 1e3, 2),
          bound="pessimistic (zero collective/compute overlap)")
+
+    # ---- render-inclusive accounting (round-4 verdict item 1): the
+    # reference's 60-steps/s loop is sim + draw + present
+    # (src/main.rs:41-72,143-162). The draw is dispatched as its OWN jit
+    # back-to-back with the step — exactly what the engine does — NOT
+    # fused into the composite: fusing the raster scatters into the big
+    # step program measured 76 ms marginal vs 16.2 ms standalone (4.7×,
+    # XLA scatter scheduling pathology; 2026-08-20 A/B). The real P-chip
+    # program additionally merges the 4 npix buffers over ICI
+    # (parallel/raster.py) — that wire time rides the adversarial side.
+    # fps and ups are DECOUPLED in the reference (lossy depth-2 frame
+    # channel drops frames when draw is slower, src/main.rs:136-139) —
+    # the last row reports the fps the lossy pipeline sustains with ups
+    # pinned at 60. ----
+    from nbody_simulation_tpu.ops.raster import (accumulate_pixels,
+                                                 colorize_pixels)
+
+    @jax.jit
+    def draw(pos, vel, mass):
+        g, c, _, vl = accumulate_pixels(pos, vel, mass, cfg.world_size,
+                                        cfg.render_size, cfg.heavy_weight)
+        return colorize_pixels(g, c, vl, cfg.render_size)
+
+    st3 = distribute_state(uniform_disc(L, seed=0), mesh, cfg)
+
+    def time_render():
+        pva = (st3.pos, st3.vel, st3.mass)
+        every = max(1, cfg.resort_every)
+        frame = None
+        for i in range(every + 2):
+            pva = (step_r if i % every == 0 else step_s)(*pva)
+            frame = draw(*pva)
+        sync(pva[0]); sync(frame.astype(jnp.float32))
+        t0 = time.perf_counter()
+        for i in range(every + 2, every + 2 + 16):
+            pva = (step_r if i % every == 0 else step_s)(*pva)
+            frame = draw(*pva)
+        sync(pva[0]); sync(frame.astype(jnp.float32))
+        return (time.perf_counter() - t0) / 16
+
+    npix = cfg.render_size * cfg.render_size
+    t_wire_render = 4 * 2 * (P - 1) / P * npix * 4 / 45e9
+    t_opt_r = time_render()
+    t_adv_r = t_adv + (t_opt_r - t_opt) + t_wire_render
+    emit(5, f"distributed-BH steps/s @N={N} on v5e-{P} INCL. per-step "
+            "render (step + draw programs back-to-back; optimistic "
+            "overlap)",
+         1 / t_opt_r, "steps/s", t_step_ms=round(t_opt_r * 1e3, 2),
+         render_ms=round((t_opt_r - t_opt) * 1e3, 2))
+    emit(5, f"distributed-BH steps/s @N={N} on v5e-{P} INCL. per-step "
+            "render (ADVERSARIAL + 4-buffer npix merge wire)",
+         1 / t_adv_r, "steps/s", t_step_ms=round(t_adv_r * 1e3, 2),
+         merge_wire_ms=round(t_wire_render * 1e3, 2))
+    # Decoupled (reference) semantics: physics at 60 ups, frames rendered
+    # from snapshots as device time allows, excess frames dropped.
+    slack = 1.0 - 60.0 * t_adv
+    fps = max(0.0, slack / (t_opt_r - t_opt + t_wire_render))
+    emit(5, f"fps sustainable at 60 ups @N={N} on v5e-{P} "
+            "(reference lossy-channel semantics, adversarial step cost)",
+         fps, "frames/s", step_slack_ms=round(max(0.0, slack) * 1e3 / 60, 2))
 
 
 def main():

@@ -25,11 +25,27 @@ from nbody_simulation_tpu.ops.allpairs import (allpairs_accel,
 from nbody_simulation_tpu.parallel.mesh import AXIS
 
 
+def symring_profitable(n_dev: int) -> bool:
+    """Whether the fully symmetric ring beats the ordered ring at ``n_dev``.
+
+    Measured on the real chip at 1M-shard tile shapes
+    (benchmarks/probe_ring_sym.py, docs/PERFORMANCE.md round 5): one
+    symmetric cross-shard block costs ~1.57× an ordered block
+    (384.6 vs 245.7 ms at rcp=approx+clamp; 1.44× at newton) but covers
+    TWO shards' outputs, so the ring total is ⌈(P−1)/2⌉·t_sym vs
+    (P−1)·t_ord. Odd P (no half-gated round) wins from P=3
+    (2·245.7=491 vs 384.6 ms); even P pays a discarded half block and
+    crosses over at P=6 (1228 vs 1154 ms). P=2/4 stay ordered.
+    """
+    return n_dev >= 3 and (n_dev % 2 == 1 or n_dev >= 6)
+
+
 def ring_allpairs_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
                         axis: str = AXIS, softening2: float = 1e-3,
                         tile_i: int = 512, tile_j: int = 2048,
                         rcp: str = "newton", sym: bool = True,
-                        sym_tile: int = 1024) -> jax.Array:
+                        sym_tile: int = 1024,
+                        sym_ring: bool | str = "auto") -> jax.Array:
     """All-pairs acceleration with particles sharded over ``axis``.
 
     ``pos`` f32[N,2] and ``mass`` f32[N] must be shardable by the mesh
@@ -39,12 +55,24 @@ def ring_allpairs_accel(pos: jax.Array, mass: jax.Array, mesh: Mesh,
     ``sym``: run the k=0 SELF-interaction stage with the symmetric
     third-law kernel (each unordered local pair evaluated once — measured
     1.26-1.37× the ordered kernel at 1M-scale tiles, docs/PERFORMANCE.md
-    round 4). Visiting stages (k>0) stay on the ordered kernel: their
-    j-side accumulator lives on another shard, so symmetry would need the
-    partial sums shipped back around the ring (not worth P extra hops for
-    a 1/P fraction of the work at small P; revisit if P grows).
+    round 4).
+
+    ``sym_ring``: symmetrize the k>0 VISITING stages too, via the
+    partial-accel ring circuit of ``ring_allpairs_accel_symring``.
+    ``"auto"`` (default) dispatches by the measured crossover
+    (``symring_profitable``: odd P≥3, even P≥6 — 1.12×/1.20× per-step at
+    P=8/16, docs/PERFORMANCE.md round 5); ``True``/``False`` force it.
+    Same physics either way, fp32 summation order differs.
     """
     n_dev = mesh.shape[axis]
+    use_symring = (symring_profitable(n_dev) if sym_ring == "auto"
+                   else bool(sym_ring))
+    n_l = pos.shape[0] // n_dev
+    use_symring = use_symring and n_l % min(sym_tile, n_l) == 0
+    if use_symring and sym and n_dev > 1:
+        return ring_allpairs_accel_symring(
+            pos, mass, mesh, axis=axis, softening2=softening2, rcp=rcp,
+            sym_tile=sym_tile)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def local(pos_l, mass_l):
